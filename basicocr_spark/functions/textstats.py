@@ -1,0 +1,129 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+These are the training-data-pipeline operators layered on top of the
+reference's text handling (word segmentation + stop-word filtering,
+reference: contrib/trietree/wordFrequency/readData.py): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Catalyst expressions — engine-independent arithmetic only, so every one
+of them has an exact DuckDB SQL oracle (no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007  # fingerprint / minhash modulus (fits comfortably in int64)
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, Mersenne
+
+# Tiny high-frequency English function-word list for quality scoring.
+STOP_RATIO_WORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Marker-based language-ID heuristic: char-range + function-word evidence.
+LANG_MARKERS = {
+    "zh": r"[一-龥]",
+    "ru": r"[Ѐ-ӿ]",
+    "de": r"\b(und|der|die|das|nicht|ist)\b",
+    "fr": r"\b(les|des|est|une|dans|pour)\b",
+    "es": r"\b(los|las|una|para|por|con)\b",
+    "en": r"\b(the|and|of|to|is|that)\b",
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_poly_hash(col: Column, mod: int = MOD) -> Column:
+    """Deterministic polynomial rolling hash over the string's codepoints:
+    acc = (acc*31 + codepoint) % mod. Engine-independent (same arithmetic
+    runs in DuckDB via list_reduce), unlike xxhash64/md5 whose outputs
+    differ across engines. This is the document fingerprint primitive."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0))) % F.lit(mod),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) from whitespace tokens;
+    docs shorter than k words yield a single shingle of the whole text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<long>: h_j = min over shingles of
+    (a_j*h + b_j) mod P, with fixed odd a_j/b_j and the char-poly base
+    hash. Deterministic and reproducible in ANSI SQL."""
+    sh_hashes = F.transform(word_shingles(col, k), lambda s: _poly_hash_expr(s))
+    sig = []
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 104729 * (j + 1) % MINHASH_PRIME
+        sig.append(
+            F.array_min(
+                F.transform(sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+            )
+        )
+    return F.array(*sig)
+
+
+def _poly_hash_expr(s: Column) -> Column:
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0))) % F.lit(MOD),
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alnum, non-space, non-CJK chars."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[^0-9A-Za-z\s一-龥]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n.cast("double"))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOP_RATIO_WORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
+    length band, mean word length band, punctuation ratio, whitespace
+    sanity. Pure arithmetic, rounded for cross-engine stability."""
+    n = F.length(col)
+    nw = token_count(col)
+    mean_wl = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"\s+", "")) / nw.cast("double")
+    )
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when(nw >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + wl_ok + punct_ok + word_ok) / F.lit(4.0), 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-based language guess: first language (fixed priority order
+    zh,ru,de,fr,es,en) whose marker matches; 'und' otherwise."""
+    expr = F.lit("und")
+    for code in reversed(["zh", "ru", "de", "fr", "es", "en"]):
+        expr = F.when(F.lower(col).rlike(LANG_MARKERS[code]), F.lit(code)).otherwise(expr)
+    return expr

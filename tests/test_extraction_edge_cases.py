@@ -1,0 +1,83 @@
+"""Adversarial inputs: empty span arrays, unknown media_refs, null text,
+duplicate offsets. All three implementations (SQL, fused, pure-Python
+oracle) must agree span-for-span."""
+
+import pytest
+
+from basicocr_spark import reference as R
+from basicocr_spark import schemas as S
+from basicocr_spark.fixtures import STOP_TERMS
+from basicocr_spark.operators.extraction import (
+    extract_documents_fused,
+    extract_documents_sql,
+)
+
+ADVERSARIAL = [
+    ("empty", []),
+    ("unknown_media", [("media", None, "m_NOPE", 1)]),
+    ("null_text", [("text", None, None, 1), ("media", None, "m000001", 2)]),
+    (
+        "dup_offset",
+        [
+            ("text", "<p>one two three four five six seven</p>", None, 3),
+            ("media", None, "m000002", 3),
+        ],
+    ),
+    ("reversed_offsets", [("text", "<p>later words one two three four five</p>", None, 9),
+                          ("media", None, "m000003", 2)]),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_docs(spark):
+    return spark.createDataFrame(ADVERSARIAL, schema=S.DOCUMENTS)
+
+
+def _spans_map(df):
+    return {
+        r.doc_id: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r.spans]
+        for r in df.collect()
+    }
+
+
+def _oracle_map(fx):
+    logits_by_ref = {r.media_ref: [list(x) for x in r.logits] for r in fx["media_logits"].collect()}
+    entries = R.load_dictionary(fx["dict_lines"])
+    out = {}
+    for doc_id, spans in ADVERSARIAL:
+        span_dicts = [
+            {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans
+        ]
+        # oracle raises KeyError on unknown refs; pipelines emit '' —
+        # mirror the pipeline contract here
+        safe_logits = dict(logits_by_ref)
+        safe_logits.setdefault("m_NOPE", [])
+        out[doc_id] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in R.extract_document(span_dicts, safe_logits, entries, STOP_TERMS)
+        ]
+    return out
+
+
+def test_all_three_agree_on_edges(spark, fx, adv_docs):
+    want = _oracle_map(fx)
+    sql_map = _spans_map(
+        extract_documents_sql(adv_docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
+    )
+    logits_rows = [
+        (r.media_ref, [list(x) for x in r.logits], r.gold_text)
+        for r in fx["media_logits"].collect()
+    ]
+    fused_map = _spans_map(
+        extract_documents_fused(adv_docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+    )
+    assert set(sql_map) == set(fused_map) == set(want)
+    for doc_id in want:
+        assert sql_map[doc_id] == want[doc_id], ("sql", doc_id)
+        assert fused_map[doc_id] == want[doc_id], ("fused", doc_id)
+
+
+def test_sql_preserves_empty_doc(spark, fx, adv_docs):
+    out = extract_documents_sql(adv_docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
+    row = {r.doc_id: r.spans for r in out.collect()}["empty"]
+    assert row == []
