@@ -1,38 +1,151 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship end-to-end extraction over an interleaved
+corpus derived deterministically from sf0.001 documents.parquet.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2 plus the corpus-pipeline operators (dedup, similarity,
+text stats). Relational/text/embedding queries have ANSI-SQL oracles
+over the driver's parquet views; extraction-specific operators (CTC
+decode, correction, boilerplate, e2e) are checked against constants
+computed by the pure-Python reference implementation on the same
+seeded fixtures (see basicocr_spark/fixture_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from basicocr_spark import fixture_queries as FQ  # noqa: E402
+from basicocr_spark import fixtures as FX  # noqa: E402
+from basicocr_spark import queries as Q  # noqa: E402
+from basicocr_spark import reference as R  # noqa: E402
+from basicocr_spark import schemas as S  # noqa: E402
+from basicocr_spark.operators.extraction import (  # noqa: E402
+    extract_documents_fused,
+    flatten_extracted,
+)
+
+N_ENTRY_MEDIA = 40
+
+
+def interleave_documents(flat_docs: DataFrame) -> DataFrame:
+    """Deterministically lift the driver's flat documents table
+    (doc_id, text, ...) into the interleaved (doc_id, spans) shape of the
+    north rule: a nav block + the document body as a content block, a
+    media span keyed by doc_id, and a footer block. Pure column ops —
+    stays a projection over the scan."""
+    nav = F.lit('<div class="nav"><a href="/home">home</a> <a href="/about">about</a></div>')
+    body = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    footer = F.lit('<div class="footer">all rights reserved</div>')
+    media_ref = F.format_string("m%06d", (F.col("doc_id") % N_ENTRY_MEDIA).cast("int"))
+    return flat_docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat_ws("\n", nav, body).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                media_ref.alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                footer.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(3).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: interleave -> fused
+    zero-shuffle extraction -> flattened spans."""
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = interleave_documents(flat)
+    logits_rows = FX.gen_media_logits(N_ENTRY_MEDIA, FX.SEED)
+    dict_lines = FX.gen_dictionary(FX.SEED)
+    out = extract_documents_fused(docs, logits_rows, dict_lines, FX.STOP_TERMS)
+    return flatten_extracted(out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.3/2.4/2.5/2.6)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q6_revenue_band": Q.q6_revenue_band,
+        "q3_top_orders": Q.q3_top_orders,
+        "q5_region_revenue": Q.q5_region_revenue,
+        "order_priority_counts": Q.order_priority_counts,
+        "top3_customers_per_nation": Q.top3_customers_per_nation,
+        "part_type_share": Q.part_type_share,
+        "lineitem_rollup": Q.lineitem_rollup,
+        # ordered/window operators over events
+        "events_hourly": Q.events_hourly,
+        "events_sessionization": Q.events_sessionization,
+        "events_running_sum": Q.events_running_sum,
+        "events_top_users_per_type": Q.events_top_users_per_type,
+        # corpus / training-data pipeline operators
+        "docs_dedup_exact": Q.docs_dedup_exact,
+        "docs_token_stats": Q.docs_token_stats,
+        "docs_lang_id_counts": Q.docs_lang_id_counts,
+        "docs_quality_scores": Q.docs_quality_scores,
+        "docs_fingerprint": Q.docs_fingerprint,
+        "docs_word_freq": Q.docs_word_freq,
+        "docs_jaccard_pairs": Q.docs_jaccard_pairs,
+        "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
+        "docs_simhash": Q.docs_simhash,
+        # similarity search over embeddings
+        "emb_norms": Q.emb_norms,
+        "emb_cosine_topk": Q.emb_cosine_topk,
+        # extraction operators (reference-oracle constants)
+        "ctc_decode": FQ.ctc_decode_fixture,
+        "correction": FQ.correction_fixture,
+        "boilerplate": FQ.boilerplate_fixture,
+        "extraction_e2e": FQ.extraction_e2e_fixture,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q.Q1_SQL,
+        "q6_revenue_band": Q.Q6_SQL,
+        "q3_top_orders": Q.Q3_SQL,
+        "q5_region_revenue": Q.Q5_SQL,
+        "order_priority_counts": Q.ORDER_PRIORITY_SQL,
+        "top3_customers_per_nation": Q.TOP3_CUST_SQL,
+        "part_type_share": Q.PART_SHARE_SQL,
+        "lineitem_rollup": Q.ROLLUP_SQL,
+        "events_hourly": Q.EVENTS_HOURLY_SQL,
+        "events_sessionization": Q.EVENTS_SESSION_SQL,
+        "events_running_sum": Q.EVENTS_RUNNING_SQL,
+        "events_top_users_per_type": Q.EVENTS_TOP_USERS_SQL,
+        "docs_dedup_exact": Q.DOCS_DEDUP_SQL,
+        "docs_token_stats": Q.DOCS_TOKEN_SQL,
+        "docs_lang_id_counts": Q.DOCS_LANG_SQL,
+        "docs_quality_scores": Q.DOCS_QUALITY_SQL,
+        "docs_fingerprint": Q.DOCS_FINGERPRINT_SQL,
+        "docs_word_freq": Q.DOCS_WORD_FREQ_SQL,
+        "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,
+        "docs_minhash_lsh_pairs": Q._duck_minhash_sql(),
+        "docs_simhash": Q._duck_simhash_sql(),
+        "emb_norms": Q.EMB_NORMS_SQL,
+        "emb_cosine_topk": Q.EMB_TOPK_SQL,
+        "ctc_decode": FQ.ctc_decode_oracle_sql(),
+        "correction": FQ.correction_oracle_sql(),
+        "boilerplate": FQ.boilerplate_oracle_sql(),
+        "extraction_e2e": FQ.extraction_e2e_oracle_sql(),
+    }

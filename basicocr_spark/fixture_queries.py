@@ -1,0 +1,174 @@
+"""Extraction-operator queries checked against reference-computed oracles.
+
+The driver's DuckDB oracle can't run a CTC decode or the trie tie-break
+in SQL — but it CAN compare against constants. So for the
+extraction-specific operators we inline the expected output (computed by
+the pure-Python reference implementation over the same deterministic
+seeded fixtures) as VALUES clauses. That makes the driver's check a true
+cross-implementation test: seeded fixture -> Spark operator pipeline vs
+seeded fixture -> pure-Python reference semantics.
+
+Everything here is deterministic: seed-pinned generators, no wall clock.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from . import fixtures as FX
+from . import reference as R
+from . import schemas as S
+from .functions.ctc import ctc_greedy_decode
+from .operators.boilerplate import extract_main_text
+from .operators.correction import correct_tokens
+from .operators.extraction import extract_documents_sql, flatten_extracted
+
+N_MEDIA = 24
+N_DOCS = 24
+SEED = 42
+
+
+def _sql_quote(s: str | None) -> str:
+    if s is None:
+        return "NULL"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return _sql_quote(str(v))
+
+    body = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    collist = ", ".join(f'"{c}"' for c in cols)  # quote reserved words (e.g. "order")
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({collist})"
+
+
+# ---------------------------------------------------------------------------
+# ctc_decode: Spark pure-SQL decode of planted logits vs planted labels
+# ---------------------------------------------------------------------------
+
+def ctc_decode_fixture(spark, sf_dir):
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    df = spark.createDataFrame(rows, schema=S.MEDIA_LOGITS)
+    return df.select(
+        "media_ref", ctc_greedy_decode(F.col("logits")).alias("decoded")
+    )
+
+
+def ctc_decode_oracle_sql() -> str:
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    return _values_sql([(r, gold) for r, _, gold in rows], ["media_ref", "decoded"])
+
+
+# ---------------------------------------------------------------------------
+# correction: broadcast levenshtein pipeline vs reference.correct_word
+# ---------------------------------------------------------------------------
+
+def _correction_tokens() -> list[str]:
+    dict_lines = FX.gen_dictionary(SEED)
+    entries = R.load_dictionary(dict_lines)
+    rng = random.Random(SEED * 23 + 9)
+    alpha = R.uniform(R.DEFAULT_ALPHABET)
+    toks: set[str] = set()
+    words = [e.word for e in entries]
+    for _ in range(60):
+        w = rng.choice(words)
+        m = rng.random()
+        if m < 0.25:
+            toks.add(w)
+        elif m < 0.55 and len(w) > 2:
+            i = rng.randrange(len(w))
+            toks.add(w[:i] + rng.choice(alpha) + w[i + 1 :])
+        elif m < 0.75:
+            toks.add(w + rng.choice(alpha))
+        elif m < 0.9:
+            toks.add(w[:-1] or w)
+        else:
+            toks.add("qx" + str(rng.randrange(1000)))
+    return sorted(toks)
+
+
+def correction_fixture(spark, sf_dir):
+    dict_lines = FX.gen_dictionary(SEED)
+    entries = R.load_dictionary(dict_lines)
+    dict_df = spark.createDataFrame(
+        [(e.line_id, e.word, e.freq) for e in entries], schema=S.DICTIONARY
+    )
+    toks_df = spark.createDataFrame([(t,) for t in _correction_tokens()], "token string")
+    return correct_tokens(toks_df, dict_df, max_cost=3)
+
+
+def correction_oracle_sql() -> str:
+    entries = R.load_dictionary(FX.gen_dictionary(SEED))
+    rows = [(R.uniform(t), R.correct_word(t, entries, 3)) for t in _correction_tokens()]
+    return _values_sql(sorted(set(rows)), ["token", "corrected"])
+
+
+# ---------------------------------------------------------------------------
+# boilerplate: column pipeline vs reference.extract_main_text
+# ---------------------------------------------------------------------------
+
+def _boilerplate_inputs() -> list[tuple[int, str]]:
+    rng = random.Random(SEED * 29 + 11)
+    return [(i, FX.gen_text_span(rng)) for i in range(30)]
+
+
+def boilerplate_fixture(spark, sf_dir):
+    df = spark.createDataFrame(_boilerplate_inputs(), "span_id int, raw string")
+    return df.select(
+        "span_id", extract_main_text(F.col("raw"), FX.STOP_TERMS).alias("main_text")
+    )
+
+
+def boilerplate_oracle_sql() -> str:
+    rows = [
+        (i, R.extract_main_text(raw, FX.STOP_TERMS)) for i, raw in _boilerplate_inputs()
+    ]
+    return _values_sql(rows, ["span_id", "main_text"])
+
+
+# ---------------------------------------------------------------------------
+# extraction_e2e: full SQL pipeline, flattened, vs reference extractor
+# ---------------------------------------------------------------------------
+
+def extraction_e2e_fixture(spark, sf_dir):
+    docs = FX.gen_documents(N_DOCS, N_MEDIA, SEED)
+    logits = FX.gen_media_logits(N_MEDIA, SEED)
+    dict_lines = FX.gen_dictionary(SEED)
+    entries = R.load_dictionary(dict_lines)
+    docs_df = spark.createDataFrame(
+        [
+            (d, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for d, spans in docs
+        ],
+        schema=S.DOCUMENTS,
+    )
+    logits_df = spark.createDataFrame(logits, schema=S.MEDIA_LOGITS)
+    dict_df = spark.createDataFrame(
+        [(e.line_id, e.word, e.freq) for e in entries], schema=S.DICTIONARY
+    )
+    out = extract_documents_sql(docs_df, logits_df, dict_df, FX.STOP_TERMS)
+    return flatten_extracted(out).select(
+        "doc_id", "order", "kind", "text", F.coalesce("media_ref", F.lit("")).alias("media_ref")
+    )
+
+
+def extraction_e2e_oracle_sql() -> str:
+    docs = FX.gen_documents(N_DOCS, N_MEDIA, SEED)
+    logits = FX.gen_media_logits(N_MEDIA, SEED)
+    dict_lines = FX.gen_dictionary(SEED)
+    gold = FX.golden_extraction(docs, logits, dict_lines)
+    rows = [
+        (doc_id, s["order"], s["kind"], s["text"], s["media_ref"] or "")
+        for doc_id, spans in gold
+        for s in spans
+    ]
+    return _values_sql(rows, ["doc_id", "order", "kind", "text", "media_ref"])

@@ -1,0 +1,758 @@
+"""Driver-facing query catalog: paired (PySpark, ANSI-SQL-oracle) impls.
+
+Each entry implements one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator the 100 TB corpus needs) over the
+driver's synthetic tables. The SQL strings run under DuckDB on identical
+parquet — so every expression here sticks to engine-independent
+arithmetic (no engine hash functions; doubles rounded at the boundary;
+timestamps stringified; deterministic tie-breaks everywhere).
+
+Column names are aliased identically on both sides — the driver's
+compare hashes values under sorted column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import textstats as TS
+from .functions import vectors as V
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+MOD = TS.MOD
+MINHASH_PRIME = TS.MINHASH_PRIME
+N_MINHASH = 8
+BAND_SIZE = 2  # 4 bands of 2
+
+# DuckDB fragment: polynomial codepoint hash of string expr {s}
+# (engine-independent twin of textstats.char_poly_hash).
+def _duck_poly(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )
+
+
+# ===========================================================================
+# Relational core (TPC-H-style; SURVEY.md §2.3/§2.4/§2.5 operator families)
+# ===========================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    """A1/A2-family partial+final hash agg (reference analog: averager,
+    utils.py:104-129; Counter, readData.py:30-33)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_discount), 6)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue_band(spark, sf_dir):
+    """P-family predicate pushdown + single agg (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """J3-family equi-join chain + agg + deterministic top-10
+    (row_number over (rounded revenue desc, key))."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+Q3_SQL = """
+WITH rev AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+), ranked AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn
+  FROM rev
+)
+SELECT * FROM ranked WHERE rn <= 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Multi-way broadcast-dim equi-join (J1/J3 family at star scale):
+    small dims (region/nation/supplier/customer) broadcast; only the
+    orders⋈lineitem edge shuffles."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def order_priority_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def top3_customers_per_nation(spark, sf_dir):
+    """W6-family top-k per group: row_number window, deterministic ties."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+TOP3_CUST_SQL = """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rk FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3
+"""
+
+
+def part_type_share(spark, sf_dir):
+    """A-family ratio agg: per-type share of total retail price."""
+    part = _t(spark, sf_dir, "part")
+    tot = part.agg(F.sum("p_retailprice").alias("t")).select("t")
+    return (
+        part.groupBy("p_type")
+        .agg(F.round(F.sum("p_retailprice"), 2).alias("type_price"), F.count(F.lit(1)).alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_type",
+            "type_price",
+            "n_parts",
+            F.round(F.col("type_price") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+PART_SHARE_SQL = """
+WITH tot AS (SELECT sum(p_retailprice) AS t FROM part)
+SELECT p_type,
+       round(sum(p_retailprice), 2) AS type_price,
+       count(*) AS n_parts,
+       round(round(sum(p_retailprice), 2) / (SELECT t FROM tot), 6) AS share
+FROM part GROUP BY p_type
+"""
+
+
+def lineitem_rollup(spark, sf_dir):
+    """SO/A-family rollup (subtotals + grand total), null labels pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ===========================================================================
+# Events (ordered/window operators; SURVEY.md §2.5)
+# ===========================================================================
+
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark, sf_dir):
+    """W2-family lag window: session = gap > 1800s; sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap arithmetic (cross-engine: no fractional-second
+    # truncation ambiguity at the 1800s boundary)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    starts = ev.withColumn(
+        "is_start", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    return starts.groupBy("user_id").agg(
+        F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+"""
+
+
+def events_running_sum(spark, sf_dir):
+    """W4-family ordered running aggregate, per-user by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events
+"""
+
+
+def events_top_users_per_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy(F.col("v").desc(), F.col("user_id").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "user_id", "v", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT event_type, user_id, v, rk FROM (
+  SELECT event_type, user_id, round(sum(value), 2) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 2) DESC, user_id ASC) AS rk
+  FROM events GROUP BY event_type, user_id
+) WHERE rk <= 5
+"""
+
+
+# ===========================================================================
+# Documents: corpus/training-data operators (dedup, stats, fingerprints)
+# ===========================================================================
+
+def docs_dedup_exact(spark, sf_dir):
+    """Exact dedup by content: canonical doc per text + dup count
+    (SO1-family distinct; at scale: hash-groupBy with map-side combine)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("canonical_doc_id", "n_copies")
+
+
+DOCS_DEDUP_SQL = """
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def docs_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+DOCS_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def docs_lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", TS.lang_id(F.col("text")).alias("pred")).groupBy(
+        "lang", "pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for code, pat in [
+        ("zh", "[一-龥]"),
+        ("ru", "[Ѐ-ӿ]"),
+        ("de", r"\b(und|der|die|das|nicht|ist)\b"),
+        ("fr", r"\b(les|des|est|une|dans|pour)\b"),
+        ("es", r"\b(los|las|una|para|por|con)\b"),
+        ("en", r"\b(the|and|of|to|is|that)\b"),
+    ]:
+        whens.append(f"WHEN regexp_matches(lower(text), '{pat}') THEN '{code}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+DOCS_LANG_SQL = f"""
+SELECT lang, {_lang_case_sql()} AS pred, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def docs_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+DOCS_QUALITY_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+         length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+  FROM documents
+)
+SELECT doc_id, nw AS n_tokens,
+       round(CASE WHEN n = 0 THEN 0.0 ELSE (n - n_keep) / CAST(n AS DOUBLE) END, 6)
+         AS punct_ratio,
+       round((
+         (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN nw > 0 AND n_nospace / CAST(nw AS DOUBLE) BETWEEN 2.0 AND 12.0
+               THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE (n - n_keep) / CAST(n AS DOUBLE) END) <= 0.2
+               THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN nw >= 5 THEN 1.0 ELSE 0.0 END)
+       ) / 4.0, 4) AS quality
+FROM b
+"""
+
+
+def docs_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (engine-independent)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.char_poly_hash(F.col("text")).alias("fingerprint"))
+
+
+DOCS_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_duck_poly("text")} AS fingerprint FROM documents
+"""
+
+
+def docs_word_freq(spark, sf_dir):
+    """A2 word-frequency pipeline with J7 stop-word anti-join
+    (reference: readData.py:23-33): tokenize, drop stop words, count,
+    deterministic top-50."""
+    d = _t(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and"]
+    toks = d.select(F.explode(TS.tokens(F.col("text"))).alias("word"))
+    counts = (
+        toks.filter(~F.col("word").isin(stop))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("word", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+DOCS_WORD_FREQ_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS freq FROM toks
+  WHERE word NOT IN ('the', 'a', 'of', 'and')
+  GROUP BY word
+)
+SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+FROM counts QUALIFY rk <= 50
+"""
+
+
+def docs_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram (word-set) Jaccard near-dup pairs via inverted index:
+    explode distinct tokens, self-equi-join on token, |A∩B| / |A∪B|.
+    The shuffle key is the token (inverted index), never doc×doc."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(TS.tokens(F.col("text")))).alias("word")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, "word")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DOCS_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.8
+"""
+
+
+def docs_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 2-word shingles -> arithmetic poly
+    hash -> 8 permutations -> 4 bands of 2 -> band-bucket equi-join.
+    All signature math is higher-order-function projection (no explode
+    until the 4-band emit); the only shuffle is the band-bucket join."""
+    d = _t(spark, sf_dir, "documents")
+    sh = TS.word_shingles(F.col("text"), k=2)
+    sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
+    sig_cols = []
+    for j in range(N_MINHASH):
+        a = 2 * j + 1
+        b = 104729 * (j + 1) % MINHASH_PRIME
+        sig_cols.append(
+            F.array_min(
+                F.transform(
+                    sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+                )
+            ).alias(f"mh{j}")
+        )
+    sigs = d.select("doc_id", *sig_cols)
+    bands = []
+    for bi in range(N_MINHASH // BAND_SIZE):
+        lo = bi * BAND_SIZE
+        band_sig = F.col(f"mh{lo}") * F.lit(MINHASH_PRIME) + F.col(f"mh{lo + 1}")
+        bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    a_side = banded.alias("a")
+    b_side = banded.alias("b")
+    return (
+        a_side.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _duck_minhash_sql() -> str:
+    shingle = (
+        r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 2 "
+        r"THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] "
+        r"ELSE list_transform(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
+        r"i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')) END"
+    )
+    ph = (
+        f"list_transform({shingle}, s -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array(s, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD}))"
+    )
+    mh = []
+    for j in range(N_MINHASH):
+        a = 2 * j + 1
+        b = 104729 * (j + 1) % MINHASH_PRIME
+        mh.append(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh{j}")
+    bands = []
+    for bi in range(N_MINHASH // BAND_SIZE):
+        lo = bi * BAND_SIZE
+        bands.append(f"SELECT doc_id, {bi} AS band, mh{lo} * {MINHASH_PRIME} + mh{lo + 1} AS sig FROM sigs")
+    return f"""
+WITH hashes AS (
+  SELECT doc_id, {ph} AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, {", ".join(mh)} FROM hashes
+), banded AS (
+  {" UNION ALL ".join(bands)}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def docs_simhash(spark, sf_dir):
+    """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.tokens(F.col("text"))
+    whashes = F.transform(toks, lambda w: TS._poly_hash_expr(w))
+    def bit_vote(j: int):
+        # pyspark inspects lambda arity — keep exactly (acc, h)
+        def merge(acc, h):
+            bit = F.floor(h / F.lit(float(2 ** j))).cast("long") % 2
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate(whashes, F.lit(0).cast("long"), merge)
+
+    sim = F.lit(0).cast("long")
+    for j in range(32):
+        sim = sim + F.when(bit_vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+def _duck_simhash_sql() -> str:
+    wh = (
+        r"list_transform(regexp_split_to_array(trim(text), '\s+'), w -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD}))"
+    )
+    bits = []
+    for j in range(32):
+        vote = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(wh, "
+            f"h -> CASE WHEN ((h // {2 ** j}) % 2) = 1 THEN 1 ELSE -1 END)), "
+            f"(a, b) -> a + b)"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)")
+    return f"""
+WITH whs AS (SELECT doc_id, {wh} AS wh FROM documents)
+SELECT doc_id, {" + ".join(bits)} AS simhash FROM whs
+"""
+
+
+# ===========================================================================
+# Embeddings: similarity search
+# ===========================================================================
+
+def emb_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(V.norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+EMB_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b)), 6) AS l2_norm,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for probe vectors (vec_id < 20):
+    broadcast the probes, stream the corpus — the 100 TB pattern for a
+    small query set. Deterministic: rounded cosine, id tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+EMB_TOPK_SQL = """
+WITH probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT p.q_id, e.vec_id,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(p.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
+         , 6) AS cos
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id != p.q_id
+)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+FROM scored QUALIFY rk <= 3
+"""
