@@ -107,10 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_word_freq": Q.docs_word_freq,
         "docs_jaccard_pairs": Q.docs_jaccard_pairs,
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
+        "docs_near_dup_verified": Q.docs_near_dup_verified,
         "docs_simhash": Q.docs_simhash,
         # similarity search over embeddings
         "emb_norms": Q.emb_norms,
         "emb_cosine_topk": Q.emb_cosine_topk,
+        "emb_ann_lsh": Q.emb_ann_lsh,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -141,9 +143,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_word_freq": Q.DOCS_WORD_FREQ_SQL,
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,
         "docs_minhash_lsh_pairs": Q._duck_minhash_sql(),
+        "docs_near_dup_verified": Q._duck_near_dup_sql(),
         "docs_simhash": Q._duck_simhash_sql(),
         "emb_norms": Q.EMB_NORMS_SQL,
         "emb_cosine_topk": Q.EMB_TOPK_SQL,
+        "emb_ann_lsh": Q._duck_ann_sql(),
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

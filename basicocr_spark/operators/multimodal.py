@@ -1,0 +1,141 @@
+"""Multimodal (binary media) column plumbing.
+
+Media rides the table as an opaque `binary` column plus typed metadata —
+the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the pixel-level kernels are
+deterministic stand-ins because no image/audio libs exist in this
+container (decode raises cleanly when asked for real pixels).
+
+Reference analogs: image bytes in LMDB (dataset.py:45-55: imageBuf ->
+cv2.imdecode), the decode/resize/normalize chain (dataset.py:69-80,
+tolmdb.py:10-22 checkImageIsValid), and plateGen's synthetic labeled
+images (genplate_plate.py:151-226).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_BLOB = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+# Deterministic fake "image": header magic + (w, h) + zlib-compressed
+# synthetic gray payload. Lets the full decode->validate->feature chain
+# run bit-stable without cv2/PIL.
+_MAGIC = b"BOCR"
+
+
+def encode_fake_image(media_ref: str, width: int = 100, height: int = 32) -> bytes:
+    payload = bytes(
+        (ord(media_ref[i % len(media_ref)]) * (i + 3)) % 256 for i in range(width * height)
+    )
+    return _MAGIC + struct.pack("<II", width, height) + zlib.compress(payload, 1)
+
+
+def decode_fake_image(buf: bytes):
+    """-> (width, height, payload bytes) or None if invalid — the P1
+    validity predicate (tolmdb.py:10-22: decode fails / h*w == 0)."""
+    if buf is None or len(buf) < 12 or buf[:4] != _MAGIC:
+        return None
+    w, h = struct.unpack("<II", buf[4:12])
+    if w * h == 0:
+        return None
+    try:
+        payload = zlib.decompress(buf[12:])
+    except zlib.error:
+        return None
+    if len(payload) != w * h:
+        return None
+    return w, h, payload
+
+
+def decode_real_image(buf: bytes):
+    """Real decoder slot — requires cv2/PIL, absent in this container."""
+    raise NotImplementedError(
+        "pixel decode requires an imaging library not present in this "
+        "environment; production deployments plug cv2/PIL in here and the "
+        "surrounding Arrow plumbing is unchanged"
+    )
+
+
+def validate_media(blobs: DataFrame) -> DataFrame:
+    """P1/P2: drop undecodable blobs (the reference skips corrupted rows,
+    dataset.py:51-55). Vectorized over Arrow batches; emits decoded dims
+    so downstream stages never re-decode just for metadata."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, ws, hs = [], [], []
+            for buf in pdf["content"]:
+                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                ok.append(d is not None)
+                ws.append(d[0] if d else None)
+                hs.append(d[1] if d else None)
+            out = pdf[["media_ref", "mime"]].copy()
+            out["valid"] = ok
+            out["dec_width"] = pd.array(ws, dtype="Int32")
+            out["dec_height"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return blobs.mapInPandas(
+        kernel,
+        "media_ref string, mime string, valid boolean, dec_width int, dec_height int",
+    ).filter(F.col("valid"))
+
+
+def media_features(blobs: DataFrame, resize_to: tuple[int, int] = (100, 32)) -> DataFrame:
+    """Decode -> grayscale 'resize' (nearest-neighbor index arithmetic,
+    P9/F10 stand-in for dataset.py:69-80) -> per-image feature vector
+    (mean/std/aspect + 8-bin histogram). Arrow-batched; numpy inside."""
+    tw, th = resize_to
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            refs, feats = [], []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                if d is None:
+                    continue
+                w, h, payload = d
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                yi = (np.arange(th) * h // th)[:, None]
+                xi = (np.arange(tw) * w // tw)[None, :]
+                resized = img[yi, xi].astype(np.float32) / 127.5 - 1.0  # [-1,1], F8
+                hist = np.histogram(resized, bins=8, range=(-1.0, 1.0))[0]
+                feats.append(
+                    [float(resized.mean()), float(resized.std()), float(w) / h]
+                    + [float(x) for x in hist]
+                )
+                refs.append(ref)
+            yield pd.DataFrame({"media_ref": refs, "features": feats})
+
+    return blobs.mapInPandas(kernel, "media_ref string, features array<double>")
+
+
+def build_blob_table(spark, media_refs: list[str], corrupt_every: int = 7) -> DataFrame:
+    """Deterministic blob fixture: every `corrupt_every`-th blob is
+    truncated garbage to exercise the validity filter."""
+    rows = []
+    for i, ref in enumerate(media_refs):
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            rows.append((ref, b"\x00garbage", "image/x-bocr", None, None))
+        else:
+            w, h = 64 + 4 * (i % 9), 32
+            rows.append((ref, encode_fake_image(ref, w, h), "image/x-bocr", w, h))
+    return spark.createDataFrame(rows, schema=MEDIA_BLOB)

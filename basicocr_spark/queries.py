@@ -650,6 +650,51 @@ FROM banded a JOIN banded b
 """
 
 
+def docs_near_dup_verified(spark, sf_dir):
+    """The scale-correct near-dup composition: MinHash+LSH candidate
+    generation (cheap, recall-oriented) -> exact 2-gram-shingle Jaccard
+    verification on candidates only (precision). Exact pairwise Jaccard
+    over all doc pairs is quadratic; this verifies only the ~O(dups)
+    candidate set — the shape that survives 10^12 docs."""
+    cands = docs_minhash_lsh_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(TS.word_shingles(F.col("text"), k=2)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _duck_near_dup_sql() -> str:
+    shingle = (
+        r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 2 "
+        r"THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] "
+        r"ELSE list_transform(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
+        r"i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')) END"
+    )
+    return f"""
+WITH cands AS ({_duck_minhash_sql()}),
+sh AS (SELECT doc_id, list_distinct({shingle}) AS sh FROM documents),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(a.sh, b.sh)) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+           AS jaccard
+  FROM cands c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+
 def docs_simhash(spark, sf_dir):
     """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1)."""
     d = _t(spark, sf_dir, "documents")
@@ -733,6 +778,80 @@ def emb_cosine_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def emb_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbor: 8 fixed pseudo-random
+    hyperplanes -> sign-bit bucket -> within-bucket exact cosine top-1
+    per probe. The scale path vs brute force: candidate set shrinks by
+    ~2^8, and the join key is the bucket id (equi-join, AQE-skew-safe)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", V.hyperplane_sign_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    probes = bucketed.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = bucketed.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        "bucket",
+        V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "vec_id", "bucket", "cos")
+    )
+
+
+def _duck_bucket_expr() -> str:
+    """DuckDB twin of vectors.hyperplane_sign_bucket (NOTE: DuckDB lambda
+    index is 1-based where Spark's is 0-based — formulas align on the
+    1-based dimension index)."""
+    terms = []
+    for j in range(8):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            f"((CAST((i * {j + 1} * 2654435761) % 1000 AS DOUBLE)) / 499.5 - 1.0))), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (7 - j)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _duck_ann_sql() -> str:
+    cos = (
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(p.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6)"
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_duck_bucket_expr()} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+  FROM bucketed WHERE vec_id < 50
+), scored AS (
+  SELECT p.q_id, e.vec_id, e.bucket, {cos} AS cos
+  FROM bucketed e JOIN probes p ON e.bucket = p.q_bucket AND e.vec_id != p.q_id
+)
+SELECT q_id, vec_id, bucket, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
 
 
 EMB_TOPK_SQL = """

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship measurement is end-to-end extraction throughput (docs/sec)
+over an interleaved corpus derived from the documents table (replicated
+deterministically so the corpus is large enough to measure — the driver
+tables cap at 500 docs). Relational/corpus/embedding headliners run
+after it. Use bench_scaling.py for the N-vs-4N parallelism criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
+
+
+N_BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
+
+
+def replicated_interleaved(spark, sf_dir: str, k: int, n_partitions: int = N_BENCH_PARTITIONS):
+    """Deterministically expand the flat documents table k× and lift it to
+    the interleaved (doc_id, spans) shape — pure column ops, no collect.
+
+    The explicit repartitionByRange on doc_id matters: the source parquet
+    is a handful of row groups, and the explode inherits that partition
+    count — without the repartition, a 32-core run executes ~4 tasks and
+    scaling flatlines. Range partitioning on doc_id is also the layout
+    the extraction contract wants (docs never straddle partitions).
+    Partition count is fixed (not core-derived) so different parallelism
+    levels execute the identical plan."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import interleave_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = flat.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+    ).withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+    return interleave_documents(rep.drop("rep")).repartitionByRange(
+        n_partitions, "doc_id"
+    )
+
+
+def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dict:
+    from basicocr_spark.session import get_spark
+
+    spark = get_spark(parallelism=parallelism, app_name=f"bench_local{parallelism}")
+    try:
+        import __spark_entry__ as E
+        from basicocr_spark import fixtures as FX
+        from basicocr_spark.operators.extraction import extract_documents_fused
+
+        timings: dict[str, float] = {}
+
+        # -- flagship: fused extraction over the replicated interleaved corpus
+        docs = replicated_interleaved(spark, sf_dir, REPLICATION)
+        n_docs = docs.count()
+        logits_rows = FX.gen_media_logits(E.N_ENTRY_MEDIA, FX.SEED)
+        dict_lines = FX.gen_dictionary(FX.SEED)
+        t0 = time.perf_counter()
+        out = extract_documents_fused(docs, logits_rows, dict_lines, FX.STOP_TERMS)
+        n_spans = out.selectExpr("sum(size(spans)) AS n").collect()[0]["n"]
+        t_extract = time.perf_counter() - t0
+        timings["extraction_fused"] = round(t_extract, 3)
+        docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
+
+        # -- headline operator queries
+        headliners = [
+            "q1_pricing_summary",
+            "q5_region_revenue",
+            "q3_top_orders",
+            "events_sessionization",
+            "events_running_sum",
+            "docs_minhash_lsh_pairs",
+            "docs_simhash",
+            "docs_near_dup_verified",
+            "docs_fingerprint",
+            "emb_cosine_topk",
+            "ctc_decode",
+            "extraction_e2e",
+        ]
+        qmap = E.queries()
+        for name in headliners:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "extraction_docs": n_docs,
+            "extraction_spans": int(n_spans),
+            "extraction_docs_per_sec": round(docs_per_sec, 1),
+            "parallelism": parallelism,
+        }
+        if emit:
+            print(json.dumps(result))
+        return result
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    run()

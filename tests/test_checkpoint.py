@@ -1,0 +1,71 @@
+"""Snapshot checkpoint / idempotent resume semantics."""
+
+import os
+
+from basicocr_spark.fixtures import STOP_TERMS
+from basicocr_spark.operators.extraction import extract_documents_fused
+from basicocr_spark.plans.checkpoint import SnapshotWriter, committed_snapshots
+
+
+def _extract(fx, docs):
+    logits_rows = [
+        (r.media_ref, [list(x) for x in r.logits], r.gold_text)
+        for r in fx["media_logits"].collect()
+    ]
+    return extract_documents_fused(docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+
+
+def test_resume_processes_only_pending(spark, fx, tmp_path):
+    root = str(tmp_path / "ckpt")
+    w = SnapshotWriter(spark, root)
+    docs = fx["documents"]
+    total = docs.count()
+
+    # batch 1: first half by doc_id
+    half = docs.filter(docs.doc_id < "d00000020")
+    out1 = _extract(fx, w.pending(half))
+    info1 = w.commit(out1)
+    assert committed_snapshots(root) == [info1["snapshot_id"]]
+    n1 = w.read_committed().count()
+    assert n1 == half.count()
+
+    # batch 2: full input — pending() must exclude committed docs
+    pend = w.pending(docs)
+    assert pend.count() == total - n1
+    out2 = _extract(fx, pend)
+    w.commit(out2)
+    final = w.read_committed()
+    assert final.count() == total
+    assert final.select("doc_id").distinct().count() == total
+
+    # batch 3: nothing pending — idempotent re-run is a no-op
+    assert w.pending(docs).count() == 0
+
+
+def test_uncommitted_data_is_invisible(spark, fx, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    w = SnapshotWriter(spark, root)
+    out = _extract(fx, fx["documents"])
+    # simulate a crash: write data WITHOUT the commit marker
+    out.write.mode("overwrite").parquet(os.path.join(root, "data", "snapshot=s000000"))
+    assert committed_snapshots(root) == []
+    assert w.read_committed() is None
+    assert w.pending(fx["documents"]).count() == fx["documents"].count()
+
+
+def test_manifest_lineage_totals(spark, fx, tmp_path):
+    root = str(tmp_path / "ckpt3")
+    w = SnapshotWriter(spark, root)
+    info = w.commit(_extract(fx, fx["documents"]))
+    m = w.read_manifest()
+    rows = m.collect()
+    assert sum(r.doc_count for r in rows) == fx["documents"].count()
+    span_total = sum(r.span_count for r in rows)
+    assert span_total == sum(
+        len(r.spans) for r in fx["golden"].collect()
+    )
+    for r in rows:
+        assert r.text_span_count + r.media_span_count == r.span_count
+        assert r.min_doc_id <= r.max_doc_id
+        assert r.wall_time_sec > 0
+    assert info["partitions"]

@@ -1,0 +1,42 @@
+"""Binary media plumbing: validity filter, feature extraction, stub gate."""
+
+import pytest
+
+from basicocr_spark.operators import multimodal as MM
+
+
+def test_validate_media_drops_corrupt(spark):
+    refs = [f"m{i:06d}" for i in range(21)]
+    blobs = MM.build_blob_table(spark, refs, corrupt_every=7)
+    valid = MM.validate_media(blobs)
+    rows = valid.collect()
+    assert len(rows) == 21 - 3  # every 7th corrupt
+    for r in rows:
+        assert r.valid and r.dec_width > 0 and r.dec_height == 32
+
+
+def test_media_features_deterministic(spark):
+    refs = [f"m{i:06d}" for i in range(10)]
+    blobs = MM.build_blob_table(spark, refs, corrupt_every=0)
+    f1 = {r.media_ref: list(r.features) for r in MM.media_features(blobs).collect()}
+    f2 = {r.media_ref: list(r.features) for r in MM.media_features(blobs).collect()}
+    assert f1 == f2
+    assert len(f1) == 10
+    for v in f1.values():
+        assert len(v) == 3 + 8  # mean, std, aspect + 8-bin hist
+        assert -1.0 <= v[0] <= 1.0
+        assert v[2] > 0  # aspect ratio
+
+
+def test_real_decode_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_real_image(b"\x89PNG")
+
+
+def test_roundtrip_encoding():
+    buf = MM.encode_fake_image("m000001", 80, 32)
+    w, h, payload = MM.decode_fake_image(buf)
+    assert (w, h) == (80, 32)
+    assert len(payload) == 80 * 32
+    assert MM.decode_fake_image(b"junk") is None
+    assert MM.decode_fake_image(None) is None

@@ -1,0 +1,82 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted.
+
+- parquet scans carry PushedFilters + pruned ReadSchema (Catalyst
+  pushdown reaching the source);
+- dictionary-sized join sides broadcast (no shuffle of the big side);
+- hot column pipelines stay inside WholeStageCodegen with no Python
+  eval nodes;
+- the fused extraction plan contains no Exchange at all.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from basicocr_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: ReadSchema carries only the 3 referenced columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in rs and "l_orderkey" in rs
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = _plan(Q.q5_region_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # customer, supplier, nation, region
+    # the fact/fact edge may be sort-merge or shuffled hash — but the
+    # dims must NOT shuffle-exchange
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_is_two_phase_hash_agg(spark):
+    df = Q.q1_pricing_summary(spark, SF)
+    df.collect()  # let AQE finalize so codegen spans are visible
+    plan = _plan(df)
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2  # partial+final
+    assert "*(1)" in plan  # whole-stage-codegen span marker
+
+
+def test_minhash_signature_stage_is_projection(spark):
+    """Signature computation must be a pure projection over the scan —
+    no shuffle before the band-bucket join, no Python eval anywhere."""
+    df = Q.docs_minhash_lsh_pairs(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    opt = _optimized(df)
+    # exactly the one join (band bucket self-join) drives the shuffle
+    assert opt.count("Join") == 1
+
+
+def test_entry_pipeline_no_python_row_udfs(spark):
+    plan = _plan(E.entry(spark))
+    # the only Python node allowed is the Arrow-batched mapInPandas
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDFs banned
+    assert "MapInPandas" in plan
+
+
+def test_extraction_sql_uses_broadcast_for_logits_and_dict(spark, fx):
+    from basicocr_spark.fixtures import STOP_TERMS
+    from basicocr_spark.operators.extraction import extract_documents_sql
+
+    out = extract_documents_sql(
+        fx["documents"], fx["media_logits"], fx["dictionary"], STOP_TERMS
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
