@@ -98,6 +98,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": Q.events_sessionization,
         "events_running_sum": Q.events_running_sum,
         "events_top_users_per_type": Q.events_top_users_per_type,
+        "events_props_parse": Q.events_props_parse,
+        "events_type_matrix": Q.events_type_matrix,
+        "events_value_histogram_top1": Q.events_value_histogram_top1,
+        "nation_customer_supplier_overlap": Q.nation_customer_supplier_overlap,
+        "nation_extreme_customers": Q.nation_extreme_customers,
+        "part_string_ops": Q.part_string_ops,
+        "docs_strip_stopcontent": Q.docs_strip_stopcontent,
         # corpus / training-data pipeline operators
         "docs_dedup_exact": Q.docs_dedup_exact,
         "docs_token_stats": Q.docs_token_stats,
@@ -135,6 +142,13 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": Q.EVENTS_SESSION_SQL,
         "events_running_sum": Q.EVENTS_RUNNING_SQL,
         "events_top_users_per_type": Q.EVENTS_TOP_USERS_SQL,
+        "events_props_parse": Q.EVENTS_PROPS_SQL,
+        "events_type_matrix": Q.EVENTS_MATRIX_SQL,
+        "events_value_histogram_top1": Q.EVENTS_HIST_SQL,
+        "nation_customer_supplier_overlap": Q.NATION_OVERLAP_SQL,
+        "nation_extreme_customers": Q.NATION_EXTREME_SQL,
+        "part_string_ops": Q.PART_STRING_SQL,
+        "docs_strip_stopcontent": Q.DOCS_STRIP_SQL,
         "docs_dedup_exact": Q.DOCS_DEDUP_SQL,
         "docs_token_stats": Q.DOCS_TOKEN_SQL,
         "docs_lang_id_counts": Q.DOCS_LANG_SQL,

@@ -875,3 +875,207 @@ SELECT q_id, vec_id, cos,
        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
 FROM scored QUALIFY rk <= 3
 """
+
+
+# ===========================================================================
+# Second batch: JSON, pivot, set ops, argmin/argmax, scalar-function F-family
+# ===========================================================================
+
+def events_props_parse(spark, sf_dir):
+    """S3-analog semi-structured parse: props is a JSON string column;
+    extract k, aggregate. Pushdown-friendly: the parse is a projection."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def events_type_matrix(spark, sf_dir):
+    """Pivot (fixed column set -> portable CASE-sum form both engines
+    compile to the same plan shape as .pivot())."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+EVENTS_MATRIX_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def nation_customer_supplier_overlap(spark, sf_dir):
+    """SO-family set ops: nations with customers INTERSECT nations with
+    suppliers, plus EXCEPT both ways, labeled and unioned."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cust.intersect(sup).select("nk", F.lit("both").alias("side"))
+    conly = cust.exceptAll(sup).select("nk", F.lit("customer_only").alias("side"))
+    sonly = sup.exceptAll(cust).select("nk", F.lit("supplier_only").alias("side"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
+NATION_OVERLAP_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT nk, 'both' AS side FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+UNION ALL
+SELECT nk, 'customer_only' AS side FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+UNION ALL
+SELECT nk, 'supplier_only' AS side FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+"""
+
+
+def nation_extreme_customers(spark, sf_dir):
+    """A4-family argmin/argmax (min_by/max_by — the exact Spark shape of
+    the reference's freq-tie-break aggregation, SURVEY.md §2.4 A4)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min_by(F.struct("c_custkey", "c_acctbal"), F.struct("c_acctbal", "c_custkey"))[
+                "c_custkey"
+            ].alias("poorest_custkey"),
+            F.max_by(F.struct("c_custkey", "c_acctbal"), F.struct("c_acctbal", (-F.col("c_custkey")).alias("neg")))[
+                "c_custkey"
+            ].alias("richest_custkey"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+# DuckDB arg_min/arg_max take scalar keys only, so the oracle pins the
+# same composite-key semantics with window row_numbers.
+NATION_EXTREME_SQL = """
+WITH j AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal ASC,  c_custkey ASC)  AS rmin,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rmax
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       min(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_custkey,
+       min(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_custkey,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM j GROUP BY n_name
+"""
+
+
+def part_string_ops(spark, sf_dir):
+    """F-family scalar string functions over part (SURVEY.md §2.7:
+    format_string/lpad/translate/split/trim/levenshtein F1-F6)."""
+    from .functions.textnorm import Q2B_FROM, Q2B_TO
+
+    part = _t(spark, sf_dir, "part")
+    first_word = F.element_at(F.split(F.trim("p_name"), r"\s+"), 1)
+    return part.select(
+        "p_partkey",
+        F.format_string("part-%09d", F.col("p_partkey")).alias("part_key_fmt"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length(F.translate("p_name", Q2B_FROM, Q2B_TO)).cast("long").alias("q2b_len"),
+        first_word.alias("first_word"),
+        F.levenshtein(first_word, F.lit("standard")).alias("lev_to_standard"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+PART_STRING_SQL = (
+    """
+SELECT p_partkey,
+       printf('part-%09d', p_partkey) AS part_key_fmt,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       CAST(length(translate(p_name, '"""
+    + "　"
+    + "".join(chr(c) for c in range(0xFF00, 0xFF5F))
+    + """', ' """
+    + "".join(chr(c) for c in range(0x20, 0x7F)).replace("'", "''")
+    + """')) AS BIGINT) AS q2b_len,
+       regexp_split_to_array(trim(p_name), '\\s+')[1] AS first_word,
+       levenshtein(regexp_split_to_array(trim(p_name), '\\s+')[1], 'standard') AS lev_to_standard,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+)
+
+
+def docs_strip_stopcontent(spark, sf_dir):
+    """J6-analog multi-pattern containment strip over the documents text
+    (AC-automaton semantics as longest-first alternation, Test.java:60-81)
+    with engine-portable literal patterns."""
+    stop_patterns = ["data", "the ", "batch"]
+    d = _t(spark, sf_dir, "documents")
+    from .operators.boilerplate import stop_content_pattern
+
+    pat = stop_content_pattern(stop_patterns)
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace("text", pat, ""), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
+DOCS_STRIP_SQL = r"""
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(regexp_replace(text, 'batch|data|the ', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_len,
+       CAST(length(text) AS BIGINT) AS orig_len
+FROM documents
+"""
+
+
+def events_value_histogram_top1(spark, sf_dir):
+    """A7-analog histogram vote: bin (value, hour-of-day), count, emit the
+    argmax bin — the (h, θ) text-line vote of FCN_Text as a groupBy+top1."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        (F.floor(F.col("value") / 50) * 50).cast("long").alias("value_bin"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hour_bin"),
+    )
+    counts = binned.groupBy("value_bin", "hour_bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("value_bin").asc(), F.col("hour_bin").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("value_bin", "hour_bin", "n")
+    )
+
+
+EVENTS_HIST_SQL = """
+WITH b AS (
+  SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS value_bin,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour_bin
+  FROM events
+), c AS (
+  SELECT value_bin, hour_bin, count(*) AS n FROM b GROUP BY 1, 2
+)
+SELECT value_bin, hour_bin, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, value_bin ASC, hour_bin ASC) AS rk FROM c
+) WHERE rk = 1
+"""

@@ -133,8 +133,8 @@ def write_report(lo: dict, hi: dict, summary: dict, cal: dict) -> None:
 
 North-rule criterion: end-to-end extraction throughput scaling
 efficiency >= 0.8 between N and 4N executors. Sandbox methodology
-(BASELINE.md): identical job + identical input at local[8] vs local[32],
-fresh JVM per level, warm-up pass excluded from timing.
+(BASELINE.md): identical job + identical input at local[{LEVELS[0]}] vs
+local[{LEVELS[1]}], fresh JVM per level, warm-up pass excluded from timing.
 
 Parallelism pair: local[{LEVELS[0]}] vs local[{LEVELS[1]}]. A pure-CPU
 calibration on this box (multiprocessing busy-loop, aggregate work at
