@@ -179,37 +179,75 @@ def extract_documents_fused(
     b_stop = sc.broadcast(list(stop_terms))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .boilerplate_vec import make_vectorized_extractor
+
         logits_by_ref = b_logits.value
         entries = R.load_dictionary(b_dict.value)
-        stops = b_stop.value
-        memo: dict[str, str] = {}
+        extract_text_vec = make_vectorized_extractor(b_stop.value)
+        corr_memo: dict[str, str] = {}
+        media_memo: dict[str, str] = {}
 
-        def correct(tok: str) -> str:
-            if tok not in memo:
-                memo[tok] = R.correct_word(tok, entries, max_cost)
-            return memo[tok]
+        def recognize(ref: str) -> str:
+            # media_refs repeat across docs (shared assets); decode+correct
+            # once per ref per partition
+            txt = media_memo.get(ref)
+            if txt is None:
+                lg = logits_by_ref.get(ref)
+                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
+                if raw:
+                    txt = corr_memo.get(raw)
+                    if txt is None:
+                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
+                else:
+                    txt = ""
+                media_memo[ref] = txt
+            return txt
 
         for pdf in batches:
-            out_spans = []
-            for spans in pdf["spans"]:
-                processed = []
+            # flatten the batch's spans; the text side runs through the
+            # vectorized pandas kernel, media through the memoized decode
+            doc_ix: list[int] = []
+            offs: list[int] = []
+            kinds: list[str] = []
+            raw_texts: list[str | None] = []
+            refs: list[str | None] = []
+            for i, spans in enumerate(pdf["spans"]):
                 for sp in spans:
-                    if sp["kind"] == "text":
-                        txt = R.extract_main_text(sp["text"] or "", stops)
-                        processed.append((sp["offset"], "text", txt, None))
-                    else:
-                        lg = logits_by_ref.get(sp["media_ref"])
-                        raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
-                        txt = correct(raw) if raw else raw
-                        processed.append((sp["offset"], "media", txt, sp["media_ref"]))
-                # same composite order as the SQL pipeline's array_sort:
-                # (offset, kind, media_ref-or-'', text-or-'')
+                    doc_ix.append(i)
+                    offs.append(sp["offset"])
+                    kinds.append(sp["kind"])
+                    raw_texts.append(sp["text"])
+                    refs.append(sp["media_ref"])
+
+            n = len(doc_ix)
+            out_text: list[str | None] = [None] * n
+            kinds_arr = kinds
+            text_pos = [k for k in range(n) if kinds_arr[k] == "text"]
+            if text_pos:
+                series = pd.Series([raw_texts[k] for k in text_pos], dtype=object)
+                extracted = extract_text_vec(series)
+                for k, v in zip(text_pos, extracted.to_numpy()):
+                    out_text[k] = v
+            for k in range(n):
+                if kinds_arr[k] == "media":
+                    out_text[k] = recognize(refs[k])
+
+            # group back per doc; same composite order as the SQL
+            # pipeline's array_sort: (offset, kind, media_ref-or-'', text-or-'')
+            per_doc: list[list] = [[] for _ in range(len(pdf))]
+            for k in range(n):
+                per_doc[doc_ix[k]].append(
+                    (offs[k], kinds_arr[k], out_text[k], refs[k])
+                )
+            out_spans = []
+            for processed in per_doc:
                 processed.sort(key=lambda p: (p[0], p[1], p[3] or "", p[2] or ""))
-                row_out = [
-                    {"kind": kind, "text": txt, "media_ref": mref, "order": rank}
-                    for rank, (_, kind, txt, mref) in enumerate(processed)
-                ]
-                out_spans.append(row_out)
+                out_spans.append(
+                    [
+                        {"kind": kind, "text": txt, "media_ref": mref, "order": rank}
+                        for rank, (_, kind, txt, mref) in enumerate(processed)
+                    ]
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out_spans})
 
     return docs.mapInPandas(kernel, EXTRACTED_SPAN_SCHEMA)

@@ -299,6 +299,32 @@ def extract_main_text(raw: str, stop_terms: list[str]) -> str:
     return _WS_RE.sub(" ", strip_stop_content(joined, stop_terms)).strip()
 
 
+def make_main_text_extractor(stop_terms: list[str]):
+    """Hot-path twin of extract_main_text with the stop-term alternation
+    compiled once (the per-call pattern build dominates otherwise).
+    Semantics identical; kernels call this, tests pin both agree."""
+    stop_re = (
+        re.compile(
+            "|".join(
+                re.escape(t) for t in sorted(stop_terms, key=lambda t: (-len(t), t))
+            )
+        )
+        if stop_terms
+        else None
+    )
+
+    def extract(raw: str) -> str:
+        kept = [
+            block_tagless(b) for b in raw.split("\n") if boilerplate_keep_score(b) > 0
+        ]
+        joined = " ".join(k for k in kept if k)
+        if stop_re is not None:
+            joined = stop_re.sub("", joined)
+        return _WS_RE.sub(" ", joined).strip()
+
+    return extract
+
+
 # ---------------------------------------------------------------------------
 # Detection grouping (SegLink Alg.1 — docs/nizhan/SegLink/SegLink_t.md:97-103)
 # ---------------------------------------------------------------------------
