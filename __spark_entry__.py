@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_extreme_customers": Q.nation_extreme_customers,
         "part_string_ops": Q.part_string_ops,
         "docs_strip_stopcontent": Q.docs_strip_stopcontent,
+        "docs_token_correction": Q.docs_token_correction,
+        "parts_never_ordered": Q.parts_never_ordered,
+        "suppliers_with_orders": Q.suppliers_with_orders,
+        "lineitem_quantiles": Q.lineitem_quantiles,
         # corpus / training-data pipeline operators
         "docs_dedup_exact": Q.docs_dedup_exact,
         "docs_token_stats": Q.docs_token_stats,
@@ -120,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": Q.emb_norms,
         "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_ann_lsh": Q.emb_ann_lsh,
+        "emb_label_centroids": Q.emb_label_centroids,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -149,6 +154,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_extreme_customers": Q.NATION_EXTREME_SQL,
         "part_string_ops": Q.PART_STRING_SQL,
         "docs_strip_stopcontent": Q.DOCS_STRIP_SQL,
+        "docs_token_correction": Q._duck_correction_sql(),
+        "parts_never_ordered": Q.PARTS_NEVER_SQL,
+        "suppliers_with_orders": Q.SUPPLIERS_WITH_SQL,
+        "lineitem_quantiles": Q.LINEITEM_QUANTILES_SQL,
         "docs_dedup_exact": Q.DOCS_DEDUP_SQL,
         "docs_token_stats": Q.DOCS_TOKEN_SQL,
         "docs_lang_id_counts": Q.DOCS_LANG_SQL,
@@ -162,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": Q.EMB_NORMS_SQL,
         "emb_cosine_topk": Q.EMB_TOPK_SQL,
         "emb_ann_lsh": Q._duck_ann_sql(),
+        "emb_label_centroids": Q.EMB_CENTROIDS_SQL,
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

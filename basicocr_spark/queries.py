@@ -1079,3 +1079,179 @@ SELECT value_bin, hour_bin, n FROM (
   SELECT *, row_number() OVER (ORDER BY n DESC, value_bin ASC, hour_bin ASC) AS rk FROM c
 ) WHERE rk = 1
 """
+
+
+# ===========================================================================
+# Third batch: full correction tie-break on driver tables, anti/semi joins,
+# percentiles, embedding centroids
+# ===========================================================================
+
+# Inline correction dictionary over the documents vocabulary (fixed
+# constants — same table on both engines). Near-collisions planted to
+# exercise every tie-break branch.
+CORRECTION_DICT = [
+    # (line_id, word, freq)
+    (0, "spark", 10.0),
+    (1, "sparc", 90.0),
+    (2, "table", 50.0),
+    (3, "tables", 20.0),
+    (4, "cable", 70.0),
+    (5, "merge", 30.0),
+    (6, "marge", 60.0),
+    (7, "query", 40.0),
+    (8, "queue", 80.0),
+    (9, "window", 25.0),
+    (10, "widow", 75.0),
+    (11, "vector", 15.0),
+    (12, "victor", 85.0),
+    (13, "stream", 45.0),
+    (14, "steam", 65.0),
+]
+
+
+def docs_token_correction(spark, sf_dir):
+    """J4/J5/A4/W6 on the driver corpus: distinct document tokens
+    corrected against the inline dictionary with the EXACT reference
+    tie-break (trietree_correct.py:202-242 incl. the first-iteration
+    return), k=1 with k+3 retry and identity fallback. Unlike the
+    fixture-backed `correction` query, the oracle here is a full
+    independent SQL implementation of the same semantics."""
+    from . import schemas as S
+    from .operators.correction import correct_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.tokens(F.col("text"))).alias("token")).distinct()
+    dict_df = spark.createDataFrame(CORRECTION_DICT, schema=S.DICTIONARY)
+    return correct_tokens(toks, dict_df, max_cost=1)
+
+
+def _duck_correction_sql() -> str:
+    dict_rows = ", ".join(f"({i}, '{w}', {f})" for i, w, f in CORRECTION_DICT)
+    return rf"""
+WITH dict(line_id, word, freq) AS (VALUES {dict_rows}),
+toks AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+cand AS (
+  SELECT t.token, d.line_id, d.word, d.freq, levenshtein(t.token, d.word) AS dist
+  FROM toks t CROSS JOIN dict d
+  WHERE levenshtein(t.token, d.word) <= 4
+),
+eff AS (
+  SELECT *,
+         CASE WHEN min(dist) OVER (PARTITION BY token) <= 1 THEN 1 ELSE 4 END AS eff_cost
+  FROM cand
+),
+inrad AS (
+  SELECT * FROM eff WHERE dist <= eff_cost
+),
+md AS (
+  SELECT *, min(dist) OVER (PARTITION BY token) AS min_dist FROM inrad
+),
+minset AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY token ORDER BY dist ASC, line_id ASC) AS rn,
+         count(*) OVER (PARTITION BY token) AS n_min,
+         first_value(word) OVER (PARTITION BY token ORDER BY freq DESC, line_id ASC) AS best_freq_word
+  FROM md WHERE dist = min_dist
+),
+resolved AS (
+  SELECT token,
+         CASE WHEN min_dist = 0 OR n_min = 1 OR length(word) = length(token)
+              THEN word ELSE best_freq_word END AS corrected
+  FROM minset WHERE rn = 1
+)
+SELECT t.token, coalesce(r.corrected, t.token) AS corrected
+FROM toks t LEFT JOIN resolved r ON t.token = r.token
+"""
+
+
+def parts_never_ordered(spark, sf_dir):
+    """Anti-join (J7 family / NOT EXISTS): parts with no lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    return part.join(li, "p_partkey", "left_anti").select(
+        "p_partkey", "p_type", F.round("p_retailprice", 2).alias("retail")
+    )
+
+
+PARTS_NEVER_SQL = """
+SELECT p_partkey, p_type, round(p_retailprice, 2) AS retail
+FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def suppliers_with_orders(spark, sf_dir):
+    """Semi-join (EXISTS): suppliers that appear in lineitem, with their
+    nation label (broadcast dim)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey")).distinct()
+    return (
+        sup.join(li, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+SUPPLIERS_WITH_SQL = """
+SELECT s_suppkey, n_name, round(s_acctbal, 2) AS acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def lineitem_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per return flag (percentile /
+    quantile_cont share the same linear-interpolation definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+LINEITEM_QUANTILES_SQL = """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price,
+       CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
+       CAST(round(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS p25_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid stats over the embedding column: posexplode to
+    (label, dim, value), average per dim, then the centroid L2 norm —
+    the aggregation path a clustering/IVF build would take."""
+    e = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+EMB_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+), per_dim AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS c FROM flat GROUP BY label, dim
+)
+SELECT label,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm,
+       count(*) AS n_dims
+FROM per_dim GROUP BY label
+"""
