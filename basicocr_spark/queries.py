@@ -27,6 +27,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t but re-spread across the cluster: the sandbox tables are a
+    single parquet row group, so compute-heavy per-row expressions would
+    otherwise run on one core. At production scale the scan itself splits
+    and this repartition disappears; the tiny shuffle here stands in for
+    that free scan parallelism."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 MOD = TS.MOD
 MINHASH_PRIME = TS.MINHASH_PRIME
 N_MINHASH = 8
@@ -572,26 +582,38 @@ WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.8
 """
 
 
+def _minhash_sigs(d):
+    """(doc_id, mh0..mh7) via ONE aggregate pass over the shingle-hash
+    array. Computing 8 separate array_min(transform(...)) columns makes
+    Catalyst inline (and so re-evaluate) the char-level hashing 8x —
+    measured 6x slower. The single fold evaluates each shingle hash once
+    and folds all 8 permuted minima simultaneously."""
+    sh = TS.word_shingles(F.col("text"), k=2)
+    sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
+    init = F.array(*[F.lit(MINHASH_PRIME + 1).cast("long") for _ in range(N_MINHASH)])
+    perm_consts = [
+        (2 * j + 1, 104729 * (j + 1) % MINHASH_PRIME) for j in range(N_MINHASH)
+    ]
+
+    def fold(acc, h):
+        permuted = F.array(
+            *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in perm_consts]
+        )
+        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
+
+    sig = F.aggregate(sh_hashes, init, fold)
+    return d.select(
+        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(N_MINHASH)]
+    )
+
+
 def docs_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs: 2-word shingles -> arithmetic poly
     hash -> 8 permutations -> 4 bands of 2 -> band-bucket equi-join.
     All signature math is higher-order-function projection (no explode
     until the 4-band emit); the only shuffle is the band-bucket join."""
-    d = _t(spark, sf_dir, "documents")
-    sh = TS.word_shingles(F.col("text"), k=2)
-    sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
-    sig_cols = []
-    for j in range(N_MINHASH):
-        a = 2 * j + 1
-        b = 104729 * (j + 1) % MINHASH_PRIME
-        sig_cols.append(
-            F.array_min(
-                F.transform(
-                    sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-                )
-            ).alias(f"mh{j}")
-        )
-    sigs = d.select("doc_id", *sig_cols)
+    d = _t_wide(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(d)
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
@@ -657,9 +679,15 @@ def docs_near_dup_verified(spark, sf_dir):
     over all doc pairs is quadratic; this verifies only the ~O(dups)
     candidate set — the shape that survives 10^12 docs."""
     cands = docs_minhash_lsh_pairs(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
+    # verify over HASHED shingle sets: 8-byte longs shuffle ~10x lighter
+    # than the shingle strings across the candidate join, and the oracle
+    # computes the identical hash so parity is exact
     sh = d.select(
-        "doc_id", F.array_distinct(TS.word_shingles(F.col("text"), k=2)).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(TS.word_shingles(F.col("text"), k=2), lambda x: TS._poly_hash_expr(x))
+        ).alias("sh"),
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -683,7 +711,10 @@ def _duck_near_dup_sql() -> str:
     )
     return f"""
 WITH cands AS ({_duck_minhash_sql()}),
-sh AS (SELECT doc_id, list_distinct({shingle}) AS sh FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform({shingle}, s ->
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(regexp_split_to_array(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM documents),
 verified AS (
   SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(a.sh, b.sh)) /
@@ -696,21 +727,41 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
 
 
 def docs_simhash(spark, sf_dir):
-    """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1)."""
-    d = _t(spark, sf_dir, "documents")
+    """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1).
+    One aggregate folds all 32 bit-votes simultaneously (32 separate
+    aggregates would re-evaluate the word hashing 32x — same CSE trap as
+    the minhash signatures, measured ~10x slower)."""
     toks = TS.tokens(F.col("text"))
     whashes = F.transform(toks, lambda w: TS._poly_hash_expr(w))
-    def bit_vote(j: int):
-        # pyspark inspects lambda arity — keep exactly (acc, h)
-        def merge(acc, h):
-            bit = F.floor(h / F.lit(float(2 ** j))).cast("long") % 2
-            return acc + F.when(bit == 1, 1).otherwise(-1)
+    d = _t_wide(spark, sf_dir, "documents")
 
-        return F.aggregate(whashes, F.lit(0).cast("long"), merge)
+    # expression kept SMALL on purpose: unrolling 32 bit branches builds a
+    # megabyte-scale codegen unit (~45 s janino compile before the first
+    # row flows); a transform over sequence(0,31) compiles in milliseconds
+    bit_idx = F.sequence(F.lit(0), F.lit(31))
+    init = F.transform(bit_idx, lambda j: F.lit(0).cast("long"))
 
-    sim = F.lit(0).cast("long")
-    for j in range(32):
-        sim = sim + F.when(bit_vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    def fold(acc, h):
+        bits = F.transform(
+            bit_idx,
+            lambda j: (
+                F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2
+            )
+            * 2
+            - 1,
+        )
+        return F.zip_with(acc, bits, lambda x, y: x + y)
+
+    votes = F.aggregate(whashes, init, fold)
+    sim = F.aggregate(
+        bit_idx,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(votes, (j + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ).otherwise(0),
+    )
     return d.select("doc_id", sim.alias("simhash"))
 
 
