@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_ann_lsh": Q.emb_ann_lsh,
         "emb_label_centroids": Q.emb_label_centroids,
+        "emb_ivf_topk": Q.emb_ivf_topk,
+        "docs_filter_summary": Q.docs_filter_summary,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": Q.EMB_TOPK_SQL,
         "emb_ann_lsh": Q._duck_ann_sql(),
         "emb_label_centroids": Q.EMB_CENTROIDS_SQL,
+        "emb_ivf_topk": Q._duck_ivf_sql(),
+        "docs_filter_summary": Q.DOCS_FILTER_SQL,
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

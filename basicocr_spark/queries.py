@@ -1306,3 +1306,137 @@ SELECT label,
        count(*) AS n_dims
 FROM per_dim GROUP BY label
 """
+
+
+# ===========================================================================
+# Fourth batch: IVF-style ANN, quality-filter summary
+# ===========================================================================
+
+def emb_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer = per-label centroids (stand-in
+    for k-means cells, deterministic); probes search ONLY their nearest
+    cell's vectors (nprobe=1). The scale path: cell assignment is a
+    broadcast argmin over ~k centroids, the fine search touches 1/k of
+    the corpus per probe. Returns top-2 per probe with exact rounded
+    cosine + the searched cell."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    cents = flat.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select(
+        F.col("label").alias("cell"),
+        F.transform("dc", lambda x: x["c"]).alias("centroid"),
+    )
+    probes = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # assign each probe to its max-cosine cell (broadcast centroids)
+    assigned_scores = probes.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "q_emb",
+        "cell",
+        V.cosine_rounded(F.col("q_emb"), F.col("centroid"), 6).alias("cell_cos"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
+    assigned = (
+        assigned_scores.withColumn("rk", F.row_number().over(w_cell))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "q_emb", "cell")
+    )
+    cand = e.join(
+        F.broadcast(assigned),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", "cell", V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "vec_id", "cell", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_ivf_sql() -> str:
+    cos = lambda a, b: (
+        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (p, q) -> p + q) "
+        f"/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) "
+        f"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q))), 6)"
+    )
+    return f"""
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+), per_dim AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS c FROM flat GROUP BY label, dim
+), cents AS (
+  SELECT label AS cell, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS centroid
+  FROM per_dim GROUP BY label
+), probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 30
+), cell_scores AS (
+  SELECT p.q_id, p.q_emb, c.cell, {cos("p.q_emb", "c.centroid")} AS cell_cos
+  FROM probes p CROSS JOIN cents c
+), assigned AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, cell ASC) AS rk
+    FROM cell_scores
+  ) WHERE rk = 1
+), scored AS (
+  SELECT a.q_id, e.vec_id, a.cell, {cos("a.q_emb", "e.embedding")} AS cos
+  FROM embeddings e JOIN assigned a ON e.label = a.cell AND e.vec_id != a.q_id
+)
+SELECT q_id, vec_id, cell, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 2
+"""
+
+
+def docs_filter_summary(spark, sf_dir):
+    """End-of-pipeline corpus filter summary: predicted language x
+    keep/drop decision (quality >= 0.75 and 20 <= tokens) with counts —
+    the acceptance report a training-data pipeline emits."""
+    d = _t(spark, sf_dir, "documents")
+    keep = (TS.quality_score(F.col("text")) >= 0.75) & (TS.token_count(F.col("text")) >= 20)
+    return (
+        d.select(
+            TS.lang_id(F.col("text")).alias("pred_lang"),
+            F.when(keep, "keep").otherwise("drop").alias("decision"),
+        )
+        .groupBy("pred_lang", "decision")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+DOCS_FILTER_SQL = rf"""
+WITH b AS (
+  SELECT text,
+         length(text) AS n,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+         length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+  FROM documents
+), scored AS (
+  SELECT text, nw,
+         round((
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw > 0 AND n_nospace / CAST(nw AS DOUBLE) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE (n - n_keep) / CAST(n AS DOUBLE) END) <= 0.2
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw >= 5 THEN 1.0 ELSE 0.0 END)
+         ) / 4.0, 4) AS quality
+  FROM b
+)
+SELECT {_lang_case_sql()} AS pred_lang,
+       CASE WHEN quality >= 0.75 AND nw >= 20 THEN 'keep' ELSE 'drop' END AS decision,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
