@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": Q.emb_label_centroids,
         "emb_ivf_topk": Q.emb_ivf_topk,
         "docs_filter_summary": Q.docs_filter_summary,
+        "docs_dup_clusters": Q.docs_dup_clusters,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": Q.EMB_CENTROIDS_SQL,
         "emb_ivf_topk": Q._duck_ivf_sql(),
         "docs_filter_summary": Q.DOCS_FILTER_SQL,
+        "docs_dup_clusters": Q._duck_clusters_sql(),
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

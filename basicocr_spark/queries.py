@@ -1440,3 +1440,73 @@ SELECT {_lang_case_sql()} AS pred_lang,
        count(*) AS n
 FROM scored GROUP BY 1, 2
 """
+
+
+def docs_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    pair graph via iterative min-label propagation (the large-star/
+    small-star family — driver controls the loop, every step is a pure
+    DataFrame join+agg, converges in O(component diameter) rounds).
+    Every document gets a cluster representative (isolated docs map to
+    themselves). This is the dedup decision table a corpus pipeline
+    feeds back into the scan filter."""
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    # localCheckpoint truncates lineage every round — without it the
+    # nested iterative plan grows until the optimizer itself OOMs
+    edges = edges.localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("rep")).localCheckpoint()
+    for _ in range(12):  # diameter bound; fixpoint check below
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "rep")
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        # pointer jumping: rep := rep(rep) — halves remaining diameter,
+        # giving O(log n) total rounds instead of O(diameter)
+        m = prop.select(F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep"))
+        jumped = (
+            prop.join(m, prop.rep == m.m_doc, "left")
+            .select("doc_id", F.coalesce("m_rep", "rep").alias("rep"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
+            .filter(F.col("rep") != F.col("old_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+
+DOCS_CLUSTERS_SQL_TEMPLATE = """
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT doc AS doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc
+"""
+
+
+def _duck_clusters_sql() -> str:
+    inner = _duck_minhash_sql().strip()
+    # embed the minhash pair query as the seed CTE body
+    return DOCS_CLUSTERS_SQL_TEMPLATE.format(pairs_sql=inner)
