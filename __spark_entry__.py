@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correction": FQ.correction_fixture,
         "boilerplate": FQ.boilerplate_fixture,
         "extraction_e2e": FQ.extraction_e2e_fixture,
+        "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
 
@@ -182,4 +183,5 @@ def oracle_sql() -> dict[str, str]:
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),
         "extraction_e2e": FQ.extraction_e2e_oracle_sql(),
+        "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

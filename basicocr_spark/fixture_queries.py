@@ -172,3 +172,41 @@ def extraction_e2e_oracle_sql() -> str:
         for s in spans
     ]
     return _values_sql(rows, ["doc_id", "order", "kind", "text", "media_ref"])
+
+
+# ---------------------------------------------------------------------------
+# recognition accuracy (A3: n_correct / n_total — crnn_main.py:158-190)
+# ---------------------------------------------------------------------------
+
+def recognition_accuracy_fixture(spark, sf_dir):
+    """Exact-match accuracy of the pure-SQL CTC decode against the
+    planted labels — the reference's val() metric as one aggregation."""
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    df = spark.createDataFrame(rows, schema=S.MEDIA_LOGITS)
+    decoded = df.select(
+        "gold_text", ctc_greedy_decode(F.col("logits")).alias("decoded")
+    )
+    return decoded.agg(
+        F.sum(F.when(F.col("decoded") == F.col("gold_text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(
+            F.sum(F.when(F.col("decoded") == F.col("gold_text"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def recognition_accuracy_oracle_sql() -> str:
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    import basicocr_spark.reference as _R
+
+    n_correct = sum(
+        1 for _, lg, gold in rows if _R.ctc_greedy_decode(lg) == gold
+    )
+    n = len(rows)
+    return _values_sql(
+        [(n_correct, n, round(n_correct / n, 6))], ["n_correct", "n_total", "accuracy"]
+    )
