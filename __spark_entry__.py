@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": Q.emb_ivf_topk,
         "docs_filter_summary": Q.docs_filter_summary,
         "docs_dup_clusters": Q.docs_dup_clusters,
+        "docs_split_sample": Q.docs_split_sample,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": Q._duck_ivf_sql(),
         "docs_filter_summary": Q.DOCS_FILTER_SQL,
         "docs_dup_clusters": Q._duck_clusters_sql(),
+        "docs_split_sample": Q.DOCS_SPLIT_SQL,
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

@@ -1510,3 +1510,32 @@ def _duck_clusters_sql() -> str:
     inner = _duck_minhash_sql().strip()
     # embed the minhash pair query as the seed CTE body
     return DOCS_CLUSTERS_SQL_TEMPLATE.format(pairs_sql=inner)
+
+
+def docs_split_sample(spark, sf_dir):
+    """W7-analog deterministic sampler: hash-free modular split of the
+    corpus into train/val/test (98/1/1-style buckets scaled down) — the
+    reproducible alternative to rand(seed) that survives re-runs and
+    engine changes. Emits split sizes + token totals."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * 2654435761 % MOD, F.lit(10))
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), TS.token_count(F.col("text")).alias("nt"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+
+
+DOCS_SPLIT_SQL = rf"""
+WITH b AS (
+  SELECT CASE WHEN ((doc_id * 2654435761) % {MOD}) % 10 <= 7 THEN 'train'
+              WHEN ((doc_id * 2654435761) % {MOD}) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM b GROUP BY split
+"""
