@@ -128,6 +128,54 @@ def media_features(blobs: DataFrame, resize_to: tuple[int, int] = (100, 32)) -> 
     return blobs.mapInPandas(kernel, "media_ref string, features array<double>")
 
 
+def media_batches_dynamic_width(
+    blobs: DataFrame, target_h: int = 32, max_w: int = 400
+) -> DataFrame:
+    """A6/keep_ratio dynamic batch width (reference: alignCollate with
+    keep_ratio, dataset.py:109-136): each ARROW BATCH is resized to
+    height target_h and padded to that batch's own max aspect-derived
+    width instead of a global constant — cutting padding waste for
+    narrow crops. Emits per-image tensors plus the batch width actually
+    used, so tests can assert the width varies with batch content."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            decoded = []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                if d is not None:
+                    decoded.append((ref, d))
+            if not decoded:
+                continue
+            # batch max ratio (ratios.sort(); ratios[-1] — dataset.py:122-130)
+            max_ratio = max(w / float(h) for _, (w, h, _) in decoded)
+            batch_w = min(max_w, max(1, int(np.floor(max_ratio * target_h))))
+            refs, tensors = [], []
+            for ref, (w, h, payload) in decoded:
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                scaled_w = min(batch_w, max(1, int(round(w * target_h / float(h)))))
+                yi = (np.arange(target_h) * h // target_h)[:, None]
+                xi = (np.arange(scaled_w) * w // scaled_w)[None, :]
+                resized = img[yi, xi].astype(np.float32) / 127.5 - 1.0
+                padded = np.full((target_h, batch_w), -1.0, dtype=np.float32)
+                padded[:, :scaled_w] = resized
+                refs.append(ref)
+                tensors.append([float(x) for x in padded.mean(axis=0)])
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "batch_width": [batch_w] * len(refs),
+                    "col_means": tensors,
+                }
+            )
+
+    return blobs.mapInPandas(
+        kernel, "media_ref string, batch_width int, col_means array<float>"
+    )
+
+
 def build_blob_table(spark, media_refs: list[str], corrupt_every: int = 7) -> DataFrame:
     """Deterministic blob fixture: every `corrupt_every`-th blob is
     truncated garbage to exercise the validity filter."""

@@ -40,3 +40,18 @@ def test_roundtrip_encoding():
     assert len(payload) == 80 * 32
     assert MM.decode_fake_image(b"junk") is None
     assert MM.decode_fake_image(None) is None
+
+
+def test_dynamic_width_batching(spark):
+    refs = [f"m{i:06d}" for i in range(12)]
+    blobs = MM.build_blob_table(spark, refs, corrupt_every=0).repartition(2)
+    out = MM.media_batches_dynamic_width(blobs).collect()
+    assert len(out) == 12
+    widths = {r.batch_width for r in out}
+    for r in out:
+        # every tensor padded exactly to its batch's width
+        assert len(r.col_means) == r.batch_width
+        assert r.batch_width <= 400
+    # width derives from the batch max aspect: 32-high targets, sources
+    # are (64..96)x32 so widths in [64, 96]
+    assert all(64 <= w <= 96 for w in widths)

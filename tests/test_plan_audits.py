@@ -80,3 +80,16 @@ def test_extraction_sql_uses_broadcast_for_logits_and_dict(spark, fx):
     )
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Writing partitioned by a column makes filters prune directories —
+    the scan must show the partition filter and read only one partition."""
+    out = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click
