@@ -262,3 +262,98 @@ def flatten_extracted(extracted: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.order").alias("order"),
     )
+
+
+FLAT_SCHEMA = "doc_id string, kind string, text string, media_ref string, order int"
+
+
+def extract_spans_flat(
+    spans_flat: DataFrame,
+    logits_rows: list[tuple],
+    dict_lines: list[str],
+    stop_terms: list[str],
+    alphabet: str = R.DEFAULT_ALPHABET,
+    max_cost: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Flat-layout twin of the fused pipeline for corpora stored with one
+    row PER SPAN (doc_id, offset, kind, text, media_ref) instead of the
+    nested array shape. This is the W4 stitch exactly as surveyed:
+    repartitionByRange(doc_id) so no document straddles a partition,
+    sortWithinPartitions(doc_id, offset) so each partition arrives
+    doc-contiguous and offset-ordered, then one mapInPandas computes
+    `order` as a vectorized per-doc cumcount and processes every span
+    through the same vectorized kernels. No nested Arrow structs cross
+    the Python boundary, which is the nested variant's main marshalling
+    cost. Requires the input contract (offsets unique per doc).
+    """
+    sc = spans_flat.sparkSession.sparkContext
+    b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
+    b_dict = sc.broadcast(dict_lines)
+    b_stop = sc.broadcast(list(stop_terms))
+    n = n_partitions or sc.defaultParallelism * 2
+
+    arranged = spans_flat.repartitionByRange(n, "doc_id").sortWithinPartitions(
+        "doc_id", "offset"
+    )
+
+    def kernel(batches):
+        from .boilerplate_vec import make_vectorized_extractor
+
+        logits_by_ref = b_logits.value
+        entries = R.load_dictionary(b_dict.value)
+        extract_text_vec = make_vectorized_extractor(b_stop.value)
+        corr_memo: dict[str, str] = {}
+        media_memo: dict[str, str] = {}
+
+        def recognize(ref):
+            txt = media_memo.get(ref)
+            if txt is None:
+                lg = logits_by_ref.get(ref)
+                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
+                if raw:
+                    txt = corr_memo.get(raw)
+                    if txt is None:
+                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
+                else:
+                    txt = ""
+                media_memo[ref] = txt
+            return txt
+
+        prev_doc = None  # doc spanning the batch boundary within a partition
+        prev_count = 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            # order = cumcount per doc; batches arrive doc-contiguous and
+            # offset-sorted, so carry the running count across batches
+            order = pdf.groupby("doc_id", sort=False).cumcount()
+            first_doc = pdf["doc_id"].iat[0]
+            last_doc = pdf["doc_id"].iat[-1]
+            n_last = int((pdf["doc_id"] == last_doc).sum())
+            if prev_doc == first_doc:
+                order.loc[pdf["doc_id"] == first_doc] += prev_count
+                if last_doc == first_doc:
+                    n_last += prev_count
+            prev_doc, prev_count = last_doc, n_last
+
+            text_mask = pdf["kind"] == "text"
+            out_text = pd.Series([""] * len(pdf), dtype=object)
+            if text_mask.any():
+                out_text[text_mask] = extract_text_vec(pdf.loc[text_mask, "text"]).to_numpy()
+            media_mask = ~text_mask
+            if media_mask.any():
+                out_text[media_mask] = pdf.loc[media_mask, "media_ref"].map(recognize).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "text": out_text,
+                    "media_ref": pdf["media_ref"],
+                    "order": order.astype("int32"),
+                }
+            )
+
+    return arranged.mapInPandas(kernel, FLAT_SCHEMA)
