@@ -36,12 +36,14 @@ def cosine_rounded(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(cosine(a, b), scale)
 
 
-def hyperplane_sign_bucket(a: Column, num_planes: int = 8) -> Column:
+def hyperplane_sign_bucket(a: Column, num_planes: int = 8, plane_offset: int = 0) -> Column:
     """Deterministic LSH bucket id: sign bits against `num_planes` fixed
     pseudo-random hyperplanes h_j[i] = (((i+1)*(j+1)*2654435761) % 1000)
-    / 499.5 - 1 — pure arithmetic, reproducible in any SQL engine."""
+    / 499.5 - 1 — pure arithmetic, reproducible in any SQL engine.
+    `plane_offset` selects a disjoint plane family (j starts there), so
+    banded LSH reuses the same formula with per-band offsets."""
     bucket = F.lit(0).cast("long")
-    for j in range(num_planes):
+    for j in range(plane_offset, plane_offset + num_planes):
         proj = F.aggregate(
             F.transform(
                 a,

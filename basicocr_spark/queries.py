@@ -905,6 +905,97 @@ SELECT q_id, vec_id, bucket, cos FROM (
 """
 
 
+def emb_near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the dedup variant for
+    modalities where text shingling is meaningless (images/audio via
+    their embeddings). Scale-correct shape: banded sign-LSH candidate
+    generation (4 bands x 4 hyperplanes; a pair is a candidate if ANY
+    band bucket matches) -> exact cosine verification >= 0.4 on
+    candidates only. All-pairs cosine is quadratic in corpus size; the
+    band-bucket equi-join keeps the candidate set ~O(near-dups), the
+    same recall/precision split as docs_near_dup_verified (MinHash
+    analog: reference's dictionary-candidate search,
+    trietree_correct.py:153-199, generate-then-verify)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                V.hyperplane_sign_bucket(F.col("embedding"), 4, plane_offset=4 * b).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = e.select(
+        "vec_id", F.explode(bands).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", V.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def _duck_band_bucket_expr(band: int) -> str:
+    """DuckDB twin of hyperplane_sign_bucket(4, plane_offset=4*band)."""
+    terms = []
+    for l in range(4):
+        j = 4 * band + l
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            f"((CAST((i * {j + 1} * 2654435761) % 1000 AS DOUBLE)) / 499.5 - 1.0))), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (3 - l)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _duck_emb_near_dup_sql() -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_duck_band_bucket_expr(b)} AS sig FROM embeddings"
+        for b in range(4)
+    )
+    cos = (
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6)"
+    )
+    return f"""
+WITH banded AS (
+  {banded}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.vec_a, c.vec_b, {cos} AS cos
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.4
+"""
+
+
 EMB_TOPK_SQL = """
 WITH probes AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
