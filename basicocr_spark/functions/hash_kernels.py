@@ -1,0 +1,192 @@
+"""Arrow-batched numpy kernels for the corpus-fingerprint hash family.
+
+Exactly the arithmetic of `functions.textstats` (char-level base-31
+polynomial hash mod 1e9+7; minhash permutations (2j+1)·h + 104729·(j+1)
+mod 2^31-1; 32-bit simhash sign votes) — the DuckDB oracles are
+unchanged and `tests/test_hash_kernels.py` pins kernel output equal to
+the pure-Catalyst-expression output row for row.
+
+Why these exist: the expression forms in textstats.py are the
+semantically ideal zero-Python shape, but a `F.aggregate` whose lambda
+builds arrays per element never enters whole-stage codegen — it
+evaluates interpreted, ~100 ms of core time per 300-char document for
+the 8-permutation minhash fold (measured at sf0.1). The same math as
+flat numpy segment reductions runs ~2 orders of magnitude cheaper —
+the difference between a dedup pass that fits a 100 TB budget and one
+that doesn't. This is the sanctioned slow-path escape hatch of
+SURVEY.md §2.9: Arrow-batched `mapInPandas`, no per-row Python UDFs.
+
+Reference analogs: the minhash/simhash family generalizes the
+reference's duplicate-sensitive dictionary lookup (candidate
+generation + verification, contrib/trietree/src/trietree_correct.py:
+153-199); the polynomial rolling hash is the fingerprint primitive.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .textstats import MINHASH_PRIME, MOD
+
+# Java/RE2 \s is ASCII-only; Python needs the explicit flag to match the
+# split semantics of F.split(trim(text), '\\s+') and the DuckDB oracle.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _tokens(text: str | None) -> list[str]:
+    """Mirror of textstats.tokens: F.trim strips spaces (0x20) only;
+    all-space text -> []; otherwise split on ASCII \\s+ (which, like
+    Java's String.split with limit -1, keeps interior/leading empties
+    produced by non-space leading whitespace)."""
+    if text is None:
+        return []
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return _WS.split(t)
+
+
+def _shingles(toks: list[str], k: int) -> list[str]:
+    """Mirror of textstats.word_shingles: n <= k -> one whole-text
+    shingle; else the n-k+1 k-grams, space-joined."""
+    n = len(toks)
+    if n <= k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+
+
+def poly_hash_flat(strings: list[str]) -> np.ndarray:
+    """Vectorized char_poly_hash over a flat list of strings:
+    h(s) = fold acc -> (acc*31 + codepoint) % MOD, computed as
+    sum(codepoint_j * 31^(len-1-j)) mod MOD over one concatenated
+    codepoint array (no per-char Python)."""
+    n = len(strings)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.int64)
+    codes = np.frombuffer("".join(strings).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    max_len = int(lens.max())
+    pow31 = np.empty(max_len, dtype=np.int64)
+    acc = 1
+    for i in range(max_len):
+        pow31[i] = acc
+        acc = (acc * 31) % MOD
+    rep_lens = np.repeat(lens, lens)
+    rep_offs = np.repeat(offsets, lens)
+    exp = rep_offs + rep_lens - 1 - np.arange(total, dtype=np.int64)
+    # codepoint < 2^21 and 31^e mod MOD < 2^30: product < 2^51, and the
+    # per-string partial sums stay far inside int64 before the final mod
+    contrib = (codes * pow31[exp]) % MOD
+    cs = np.concatenate([[0], np.cumsum(contrib)])
+    seg = (cs[offsets + lens] - cs[offsets]) % MOD
+    return seg.astype(np.int64)
+
+
+def _segment_layout(counts: np.ndarray) -> np.ndarray:
+    if counts.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+
+def minhash_batch(texts: list[str], num_hashes: int, k: int) -> np.ndarray:
+    """(n_docs, num_hashes) int64 minhash signatures. Every doc has at
+    least one shingle (word_shingles emits the whole text when short),
+    so the per-doc minimum reductions are over non-empty segments."""
+    if not texts:
+        return np.zeros((0, num_hashes), dtype=np.int64)
+    sh_per_doc = [_shingles(_tokens(t), k) for t in texts]
+    counts = np.fromiter((len(s) for s in sh_per_doc), dtype=np.int64, count=len(sh_per_doc))
+    flat = [s for doc in sh_per_doc for s in doc]
+    H = poly_hash_flat(flat)
+    offsets = _segment_layout(counts)
+    out = np.empty((len(texts), num_hashes), dtype=np.int64)
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 104729 * (j + 1) % MINHASH_PRIME
+        v = (a * H + b) % MINHASH_PRIME
+        out[:, j] = np.minimum.reduceat(v, offsets)
+    return out
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) int64 32-bit simhash: per-bit ±1 votes from each word
+    hash, sign-thresholded. Docs with no tokens get 0 votes -> 0."""
+    if not texts:
+        return np.zeros(0, dtype=np.int64)
+    toks_per_doc = [_tokens(t) for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+    flat = [w for doc in toks_per_doc for w in doc]
+    W = poly_hash_flat(flat)
+    bits = ((W[:, None] >> np.arange(32, dtype=np.int64)) & 1) * 2 - 1  # ±1 votes
+    cs = np.concatenate([np.zeros((1, 32), dtype=np.int64), np.cumsum(bits, axis=0)])
+    offsets = _segment_layout(counts)
+    votes = cs[offsets + counts] - cs[offsets]
+    weights = (np.int64(1) << np.arange(32, dtype=np.int64))[None, :]
+    return ((votes > 0) * weights).sum(axis=1).astype(np.int64)
+
+
+def shingle_hash_sets_batch(texts: list[str], k: int) -> list[list[int]]:
+    """Per-doc sorted-unique shingle-hash sets (array_distinct order is
+    irrelevant downstream — only intersection/union sizes are used)."""
+    out = []
+    for t in texts:
+        H = poly_hash_flat(_shingles(_tokens(t), k))
+        out.append(np.unique(H).tolist())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame wrappers (mapInPandas — the Arrow-batched surface)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 8, k: int = 2,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) via one Arrow pass; pure projection, no shuffle."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(f"mh{j} long" for j in range(num_hashes))
+
+    def gen(batches):
+        for pdf in batches:
+            sig = minhash_batch(pdf[text_col].tolist(), num_hashes, k)
+            out = {id_col: pdf[id_col]}
+            for j in range(num_hashes):
+                out[f"mh{j}"] = sig[:, j]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": simhash_batch(pdf[text_col].tolist())})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=f"{id_col} {id_type}, simhash long")
+
+
+def shingle_hash_sets_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh": shingle_hash_sets_batch(pdf[text_col].tolist(), k)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=f"{id_col} {id_type}, sh array<long>")

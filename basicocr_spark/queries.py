@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import hash_kernels as HK
 from .functions import textstats as TS
 from .functions import vectors as V
 
@@ -39,8 +40,16 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 MOD = TS.MOD
 MINHASH_PRIME = TS.MINHASH_PRIME
-N_MINHASH = 8
-BAND_SIZE = 2  # 4 bands of 2
+N_MINHASH = 16
+BAND_SIZE = 4  # 4 bands of 4
+# Band-sig combine multiplier (poly fold of a band's minhashes mod MOD).
+# Bands of 2 with an exact pair-encoding were measured at sf0.1 to emit
+# 287k candidate pairs for only 246 true near-dups (precision 0.09% —
+# at 10^12 docs that candidate set is the job's death); bands of 4 keep
+# recall ~0.9999 at the observed J>=0.97 dup similarity while cutting
+# false candidates ~150x. A rare fold collision only ever ADDs a
+# candidate, which verification then filters.
+BAND_MULT = 1_000_003
 
 # DuckDB fragment: polynomial codepoint hash of string expr {s}
 # (engine-independent twin of textstats.char_poly_hash).
@@ -583,33 +592,26 @@ WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.8
 
 
 def _minhash_sigs(d):
-    """(doc_id, mh0..mh7) via ONE aggregate pass over the shingle-hash
-    array. Computing 8 separate array_min(transform(...)) columns makes
-    Catalyst inline (and so re-evaluate) the char-level hashing 8x —
-    measured 6x slower. The single fold evaluates each shingle hash once
-    and folds all 8 permuted minima simultaneously."""
-    sh = TS.word_shingles(F.col("text"), k=2)
-    sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
-    init = F.array(*[F.lit(MINHASH_PRIME + 1).cast("long") for _ in range(N_MINHASH)])
-    perm_consts = [
-        (2 * j + 1, 104729 * (j + 1) % MINHASH_PRIME) for j in range(N_MINHASH)
-    ]
+    """(doc_id, mh0..mh15) via the Arrow numpy kernel (one mapInPandas
+    projection, no shuffle). The pure-Catalyst single-fold expression
+    form lives in tests/test_hash_kernels.py, which pins the kernel to
+    it bit for bit; the kernel exists because the per-char aggregate
+    lambda evaluates interpreted (~100 ms core-time per 300-char doc at
+    sf0.1) — ~100x slower than the identical math as flat numpy segment
+    reductions.
 
-    def fold(acc, h):
-        permuted = F.array(
-            *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in perm_consts]
-        )
-        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
-
-    sig = F.aggregate(sh_hashes, init, fold)
-    return d.select(
-        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(N_MINHASH)]
-    )
+    Signature shingles are k=3 (verification stays on the k=2 measure):
+    measured at sf0.1, 2-word shingles leave enough cross-doc vocabulary
+    overlap that even 4-hash bands emit 204k candidates for 256 true
+    pairs; 3-word shingles drop background Jaccard to ~0.001 and the
+    same band scheme emits 2,080 candidates with 100% recall of the
+    exact-Jaccard>=0.6 truth set (brute-force checked)."""
+    return HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3)
 
 
 def docs_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs: 2-word shingles -> arithmetic poly
-    hash -> 8 permutations -> 4 bands of 2 -> band-bucket equi-join.
+    hash -> 16 permutations -> 4 bands of 4 -> band-bucket equi-join.
     All signature math is higher-order-function projection (no explode
     until the 4-band emit); the only shuffle is the band-bucket join."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -617,7 +619,9 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
-        band_sig = F.col(f"mh{lo}") * F.lit(MINHASH_PRIME) + F.col(f"mh{lo + 1}")
+        band_sig = F.col(f"mh{lo}")
+        for o in range(1, BAND_SIZE):
+            band_sig = (band_sig * F.lit(BAND_MULT) + F.col(f"mh{lo + o}")) % F.lit(MOD)
         bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
     banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
@@ -636,13 +640,20 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def _duck_minhash_sql() -> str:
-    shingle = (
-        r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 2 "
-        r"THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] "
-        r"ELSE list_transform(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
-        r"i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')) END"
+def _duck_shingle_expr(k: int) -> str:
+    """DuckDB twin of textstats.word_shingles(text, k) (note: DuckDB
+    list slice [i:j] is inclusive of j, so a k-gram at i is [i:i+k-1])."""
+    arr = r"regexp_split_to_array(trim(text), '\s+')"
+    return (
+        f"CASE WHEN len({arr}) <= {k} "
+        f"THEN [array_to_string({arr}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({arr}) - {k - 1}), "
+        f"i -> array_to_string({arr}[i:i+{k - 1}], ' ')) END"
     )
+
+
+def _duck_minhash_sql() -> str:
+    shingle = _duck_shingle_expr(3)
     ph = (
         f"list_transform({shingle}, s -> "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -657,7 +668,10 @@ def _duck_minhash_sql() -> str:
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
-        bands.append(f"SELECT doc_id, {bi} AS band, mh{lo} * {MINHASH_PRIME} + mh{lo + 1} AS sig FROM sigs")
+        sig = f"mh{lo}"
+        for o in range(1, BAND_SIZE):
+            sig = f"(({sig}) * {BAND_MULT} + mh{lo + o}) % {MOD}"
+        bands.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs")
     return f"""
 WITH hashes AS (
   SELECT doc_id, {ph} AS hs FROM documents
@@ -682,13 +696,9 @@ def docs_near_dup_verified(spark, sf_dir):
     d = _t_wide(spark, sf_dir, "documents")
     # verify over HASHED shingle sets: 8-byte longs shuffle ~10x lighter
     # than the shingle strings across the candidate join, and the oracle
-    # computes the identical hash so parity is exact
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(TS.word_shingles(F.col("text"), k=2), lambda x: TS._poly_hash_expr(x))
-        ).alias("sh"),
-    )
+    # computes the identical hash so parity is exact (Arrow kernel,
+    # pinned to the expression form in tests/test_hash_kernels.py)
+    sh = HK.shingle_hash_sets_df(d, k=2)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -703,12 +713,7 @@ def docs_near_dup_verified(spark, sf_dir):
 
 
 def _duck_near_dup_sql() -> str:
-    shingle = (
-        r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 2 "
-        r"THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] "
-        r"ELSE list_transform(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
-        r"i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')) END"
-    )
+    shingle = _duck_shingle_expr(2)  # verification stays on the k=2 measure
     return f"""
 WITH cands AS ({_duck_minhash_sql()}),
 sh AS (SELECT doc_id, list_distinct(list_transform({shingle}, s ->
@@ -727,42 +732,13 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
 
 
 def docs_simhash(spark, sf_dir):
-    """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1).
-    One aggregate folds all 32 bit-votes simultaneously (32 separate
-    aggregates would re-evaluate the word hashing 32x — same CSE trap as
-    the minhash signatures, measured ~10x slower)."""
-    toks = TS.tokens(F.col("text"))
-    whashes = F.transform(toks, lambda w: TS._poly_hash_expr(w))
+    """32-bit SimHash over word hashes: bit_j = sign of Σ_words(±1),
+    computed by the Arrow numpy kernel (one mapInPandas projection, no
+    shuffle). The pure-Catalyst fold form is pinned bit-identical in
+    tests/test_hash_kernels.py; see hash_kernels.py for why the kernel
+    wins ~100x on interpreted-aggregate CPU."""
     d = _t_wide(spark, sf_dir, "documents")
-
-    # expression kept SMALL on purpose: unrolling 32 bit branches builds a
-    # megabyte-scale codegen unit (~45 s janino compile before the first
-    # row flows); a transform over sequence(0,31) compiles in milliseconds
-    bit_idx = F.sequence(F.lit(0), F.lit(31))
-    init = F.transform(bit_idx, lambda j: F.lit(0).cast("long"))
-
-    def fold(acc, h):
-        bits = F.transform(
-            bit_idx,
-            lambda j: (
-                F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2
-            )
-            * 2
-            - 1,
-        )
-        return F.zip_with(acc, bits, lambda x, y: x + y)
-
-    votes = F.aggregate(whashes, init, fold)
-    sim = F.aggregate(
-        bit_idx,
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.element_at(votes, (j + 1).cast("int")) > 0,
-            F.pow(F.lit(2.0), j.cast("double")).cast("long"),
-        ).otherwise(0),
-    )
-    return d.select("doc_id", sim.alias("simhash"))
+    return HK.simhash_df(d)
 
 
 def _duck_simhash_sql() -> str:

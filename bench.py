@@ -80,6 +80,7 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
         t_extract = time.perf_counter() - t0
         timings["extraction_fused"] = round(t_extract, 3)
         docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
+        docs.unpersist()  # free executor memory before the query timings
 
         # -- headline operator queries
         headliners = [

@@ -1,0 +1,125 @@
+"""The Arrow hash kernels must be bit-identical to the pure-Catalyst
+expression forms they accelerate (functions/textstats.py): minhash
+signatures, simhash, and shingle-hash sets agree row for row on both
+the driver's real documents table and a battery of nasty edge strings
+(empties, pure whitespace, tabs that survive F.trim, single tokens,
+CJK, repeated words). The DuckDB oracles in queries.py never changed —
+this test is what licenses the kernel swap underneath them."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from basicocr_spark.functions import hash_kernels as HK  # noqa: E402
+from basicocr_spark.functions import textstats as TS  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+EDGE_TEXTS = [
+    (0, ""),
+    (1, "   "),
+    (2, "\tleading tab"),
+    (3, "one"),
+    (4, "two words"),
+    (5, "exactly three words"),
+    (6, "a b c d e f g h"),
+    (7, "repeat repeat repeat repeat"),
+    (8, "中文 文本 处理 管道"),
+    (9, "mixed 中文 and english tokens here"),
+    (10, "punctuation, heavy!! text?? with... symbols"),
+    (11, "trailing space "),
+    (12, " leading space"),
+    (13, "double  space  between"),
+    (14, "x" * 500),
+    (15, "word " * 60),
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string")
+
+
+def _docs_df(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+
+def _expr_minhash(df, num_hashes=8, k=2):
+    sh = TS.word_shingles(F.col("text"), k=k)
+    sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
+    cols = []
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 104729 * (j + 1) % TS.MINHASH_PRIME
+        cols.append(
+            F.array_min(
+                F.transform(
+                    sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(TS.MINHASH_PRIME)
+                )
+            ).alias(f"mh{j}")
+        )
+    return df.select("doc_id", *cols)
+
+
+def _expr_simhash(df):
+    toks = TS.tokens(F.col("text"))
+    whashes = F.transform(toks, lambda w: TS._poly_hash_expr(w))
+    bit_idx = F.sequence(F.lit(0), F.lit(31))
+    init = F.transform(bit_idx, lambda j: F.lit(0).cast("long"))
+
+    def fold(acc, h):
+        bits = F.transform(
+            bit_idx,
+            lambda j: (F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2) * 2 - 1,
+        )
+        return F.zip_with(acc, bits, lambda x, y: x + y)
+
+    votes = F.aggregate(whashes, init, fold)
+    sim = F.aggregate(
+        bit_idx,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(votes, (j + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ).otherwise(0),
+    )
+    return df.select("doc_id", sim.alias("simhash"))
+
+
+def _expr_shingle_sets(df, k=2):
+    return df.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(TS.word_shingles(F.col("text"), k=k), lambda x: TS._poly_hash_expr(x))
+            )
+        ).alias("sh"),
+    )
+
+
+def _as_map(df):
+    return {r[0]: tuple(r[1:]) for r in df.collect()}
+
+
+def test_minhash_kernel_matches_expressions(spark):
+    for df in (_edge_df(spark), _docs_df(spark)):
+        got = _as_map(HK.minhash_signatures_df(df))
+        want = _as_map(_expr_minhash(df))
+        assert got == want
+
+
+def test_simhash_kernel_matches_expressions(spark):
+    for df in (_edge_df(spark), _docs_df(spark)):
+        got = _as_map(HK.simhash_df(df))
+        want = _as_map(_expr_simhash(df))
+        assert got == want
+
+
+def test_shingle_sets_kernel_matches_expressions(spark):
+    for df in (_edge_df(spark), _docs_df(spark)):
+        got = {r[0]: sorted(r[1]) for r in HK.shingle_hash_sets_df(df).collect()}
+        want = {r[0]: sorted(r[1]) for r in _expr_shingle_sets(df).collect()}
+        assert got == want
