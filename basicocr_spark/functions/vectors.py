@@ -9,8 +9,11 @@ cross-engine top-k stable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -34,6 +37,40 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_rounded(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(cosine(a, b), scale)
+
+
+def _cosine_seq_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine whose float64 summation ORDER is the sequential
+    left-to-right fold of the expression form (np.cumsum is an inclusive
+    sequential prefix scan), so results are bit-identical to
+    cosine(a, b) — pinned by tests/test_hash_kernels.py. Exists because
+    a per-pair F.aggregate lambda evaluates interpreted: on a
+    probes x corpus scoring join the arithmetic is ~100x the FLOPs cost."""
+
+    def stack(s: pd.Series) -> np.ndarray:
+        return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+
+    A, B = stack(a), stack(b)
+    dot = np.cumsum(A * B, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+    d = na * nb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(d == 0.0, 0.0, dot / d)
+    return pd.Series(out)
+
+
+def cosine_seq_kernel(a: Column, b: Column) -> Column:
+    """pandas-UDF wrapper for _cosine_seq_batch, created per call — the
+    DDL return-type parse needs an active SparkSession, so module-import
+    time (driver contract loads before any session exists) is too early."""
+    return pandas_udf(_cosine_seq_batch, "double")(a, b)
+
+
+def cosine_rounded_fast(a: Column, b: Column, scale: int = 6) -> Column:
+    """Drop-in replacement for cosine_rounded on scoring joins (the
+    rounding stays a Spark-side F.round so tie behavior is unchanged)."""
+    return F.round(cosine_seq_kernel(a, b), scale)
 
 
 def hyperplane_sign_bucket(a: Column, num_planes: int = 8, plane_offset: int = 0) -> Column:

@@ -797,7 +797,7 @@ def emb_cosine_topk(spark, sf_dir):
     scored = pairs.select(
         "q_id",
         "vec_id",
-        V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+        V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -829,7 +829,7 @@ def emb_ann_lsh(spark, sf_dir):
         "q_id",
         "vec_id",
         "bucket",
-        V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+        V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -921,7 +921,7 @@ def emb_near_dup_cosine(spark, sf_dir):
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", V.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6))
+        .withColumn("cos", V.cosine_rounded_fast(F.col("emb_a"), F.col("emb_b"), 6))
         .filter(F.col("cos") >= 0.4)
         .select("vec_a", "vec_b", "cos")
     )
@@ -1404,7 +1404,7 @@ def emb_ivf_topk(spark, sf_dir):
         "q_id",
         "q_emb",
         "cell",
-        V.cosine_rounded(F.col("q_emb"), F.col("centroid"), 6).alias("cell_cos"),
+        V.cosine_rounded_fast(F.col("q_emb"), F.col("centroid"), 6).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("q_id").orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
     assigned = (
@@ -1417,7 +1417,7 @@ def emb_ivf_topk(spark, sf_dir):
         (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")),
     )
     scored = cand.select(
-        "q_id", "vec_id", "cell", V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cos")
+        "q_id", "vec_id", "cell", V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

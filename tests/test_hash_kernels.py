@@ -118,6 +118,41 @@ def test_simhash_kernel_matches_expressions(spark):
         assert got == want
 
 
+def test_cosine_kernel_bit_identical_to_expression(spark):
+    """The pandas-UDF cosine must equal the aggregate-fold cosine
+    bit for bit (same sequential float64 summation order), unrounded —
+    on a real probes x corpus scoring join."""
+    from basicocr_spark.functions import vectors as V
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(probes))
+    both = pairs.select(
+        "q_id",
+        "vec_id",
+        V.cosine(F.col("q_emb"), F.col("embedding")).alias("expr_cos"),
+        V.cosine_seq_kernel(F.col("q_emb"), F.col("embedding")).alias("kern_cos"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r["expr_cos"] == r["kern_cos"], (r["q_id"], r["vec_id"])
+
+    # zero-vector guard path
+    import pandas as pd
+
+    z = spark.createDataFrame(
+        pd.DataFrame({"a": [[0.0, 0.0], [1.0, 0.0]], "b": [[1.0, 2.0], [1.0, 0.0]]})
+    )
+    got = z.select(
+        V.cosine(F.col("a"), F.col("b")).alias("e"),
+        V.cosine_seq_kernel(F.col("a"), F.col("b")).alias("k"),
+    ).collect()
+    for r in got:
+        assert r["e"] == r["k"]
+
+
 def test_shingle_sets_kernel_matches_expressions(spark):
     for df in (_edge_df(spark), _docs_df(spark)):
         got = {r[0]: sorted(r[1]) for r in HK.shingle_hash_sets_df(df).collect()}
