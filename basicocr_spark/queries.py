@@ -414,7 +414,17 @@ FROM documents GROUP BY text
 """
 
 
+# BPE-ish pre-tokenizer (GPT-2-style, minus the lookahead RE2 lacks):
+# contraction suffixes, space-prefixed letter runs, digit runs, punct
+# runs. \p{L}/\p{N} parse identically in Java regex (Spark) and RE2
+# (DuckDB), so the count is engine-independent.
+BPE_TOKEN_PATTERN = r"'\p{L}+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def docs_token_stats(spark, sf_dir):
+    """Token accounting per doc: whitespace tokens (the word measure),
+    distinct whitespace tokens, chars, and a BPE-ish subword count (the
+    budget measure an LLM-training pipeline actually bills by)."""
     d = _t(spark, sf_dir, "documents")
     toks = TS.tokens(F.col("text"))
     return d.select(
@@ -422,14 +432,18 @@ def docs_token_stats(spark, sf_dir):
         TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
-DOCS_TOKEN_SQL = r"""
+DOCS_TOKEN_SQL = rf"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
        len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
-       length(text) AS n_chars_actual
+       length(text) AS n_chars_actual,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
 FROM documents
 """
 
