@@ -13,7 +13,7 @@ stitch      -> spans re-emitted in (doc_id, offset-rank) order; output
                tuple (kind, text, media_ref, order) is the north-rule
                equality surface.
 
-Two implementations, cross-checked in tests:
+Three implementations, cross-checked span-for-span in tests:
 
 1. `extract_documents_sql` — the declarative Catalyst pipeline:
    posexplode -> route by kind -> broadcast-join logits -> pure-SQL CTC
@@ -25,8 +25,13 @@ Two implementations, cross-checked in tests:
    mapInPandas pass; recognition + correction happen inside the Arrow
    batch (as they would with a real model forward), the span array never
    leaves its row, docs never straddle partitions. Linear scan =>
-   scaling efficiency ~1 by construction; this is the path benched for
-   the N vs 4N criterion.
+   scaling efficiency ~1 by construction.
+
+3. `extract_documents_fused_arrow` — same single-pass shape via
+   mapInArrow: the list<struct> span column is processed as flat Arrow
+   child arrays (numpy repeat/lexsort/cumcount, no per-span Python
+   dicts). ~2x the pandas kernel's steady-state throughput; this is the
+   flagship path benched for the N vs 4N criterion.
 """
 
 from __future__ import annotations
@@ -251,6 +256,118 @@ def extract_documents_fused(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out_spans})
 
     return docs.mapInPandas(kernel, EXTRACTED_SPAN_SCHEMA)
+
+
+def extract_documents_fused_arrow(
+    docs: DataFrame,
+    logits_rows: list[tuple],
+    dict_lines: list[str],
+    stop_terms: list[str],
+    alphabet: str = R.DEFAULT_ALPHABET,
+    max_cost: int = 3,
+) -> DataFrame:
+    """mapInArrow twin of extract_documents_fused (same output, pinned
+    by tests/test_extraction_e2e.py): the nested list<struct> span
+    column is decomposed into flat Arrow child arrays — no Python dicts
+    are ever materialized for the spans, the per-span flatten/regroup
+    loops of the pandas kernel become numpy repeat/lexsort/cumcount, and
+    the output list<struct> is rebuilt from offsets. Same zero-shuffle
+    single-pass shape; this exists because the nested-struct dict
+    marshalling is the pandas kernel's dominant cost at scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    sc = docs.sparkSession.sparkContext
+    b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
+    b_dict = sc.broadcast(dict_lines)
+    b_stop = sc.broadcast(list(stop_terms))
+
+    out_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .boilerplate_vec import make_vectorized_extractor
+
+        logits_by_ref = b_logits.value
+        entries = R.load_dictionary(b_dict.value)
+        extract_text_vec = make_vectorized_extractor(b_stop.value)
+        corr_memo: dict[str, str] = {}
+        media_memo: dict[str, str] = {}
+
+        def recognize(ref: str) -> str:
+            txt = media_memo.get(ref)
+            if txt is None:
+                lg = logits_by_ref.get(ref)
+                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
+                if raw:
+                    txt = corr_memo.get(raw)
+                    if txt is None:
+                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
+                else:
+                    txt = ""
+                media_memo[ref] = txt
+            return txt
+
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
+            spans = rb.column(rb.schema.get_field_index("spans"))
+            if isinstance(spans, pa.ChunkedArray):  # defensive; batches are single-chunk
+                spans = spans.combine_chunks()
+            n_docs = len(spans)
+            # list offsets are relative to the (possibly sliced) values
+            offs64 = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            start, stop = offs64[0], offs64[-1]
+            counts = np.diff(offs64)
+            values = spans.values[start:stop]  # StructArray of the batch's spans
+            total = len(values)
+
+            if total == 0:
+                empty = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n_docs + 1, dtype=np.int32)),
+                    pa.array([], type=out_type),
+                )
+                yield pa.RecordBatch.from_arrays([doc_ids, empty], ["doc_id", "spans"])
+                continue
+
+            kind = values.field("kind").to_pandas()
+            text = values.field("text").to_pandas()
+            mref = values.field("media_ref").to_pandas()
+            offset = values.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+            out_text = pd.Series([None] * total, dtype=object)
+            text_mask = (kind == "text").to_numpy()
+            if text_mask.any():
+                out_text[text_mask] = extract_text_vec(text[text_mask]).to_numpy()
+            media_mask = ~text_mask
+            if media_mask.any():
+                refs = mref[media_mask]
+                lookup = {r: recognize(r) for r in pd.unique(refs)}
+                out_text[media_mask] = refs.map(lookup).to_numpy()
+
+            # same composite order as the pandas kernel / SQL array_sort:
+            # (doc, offset, kind, media_ref-or-'', text-or-'')
+            text_key = out_text.fillna("").to_numpy()
+            mref_key = mref.fillna("").to_numpy()
+            perm = np.lexsort((text_key, mref_key, kind.to_numpy(), offset, doc_ix))
+            doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            order = (np.arange(total) - np.repeat(doc_starts, counts)).astype(np.int32)
+
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(kind.to_numpy()[perm], type=pa.string()),
+                    pa.array(out_text.to_numpy()[perm], type=pa.string()),
+                    pa.array(mref.to_numpy()[perm], type=pa.string()),
+                    pa.array(order, type=pa.int32()),
+                ],
+                fields=list(out_type),
+            )
+            new_offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+            out_spans = pa.ListArray.from_arrays(new_offsets, struct)
+            yield pa.RecordBatch.from_arrays([doc_ids, out_spans], ["doc_id", "spans"])
+
+    return docs.mapInArrow(kernel, EXTRACTED_SPAN_SCHEMA)
 
 
 def flatten_extracted(extracted: DataFrame) -> DataFrame:

@@ -26,6 +26,25 @@ REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
 N_BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
 
 
+def materialize_corpus(spark, sf_dir: str, k: int, n_partitions: int = N_BENCH_PARTITIONS) -> str:
+    """Write the replicated interleaved corpus to a local parquet dir
+    (once — reused across runs and parallelism levels). Benchmarks then
+    time scan -> extract -> aggregate, the production end-to-end shape;
+    timing against an in-memory cache distorts both ways (cache
+    eviction/GC pressure at big replications, free scan at small)."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"basicocr_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{k}_p{n_partitions}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        replicated_interleaved(spark, sf_dir, k, n_partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def replicated_interleaved(spark, sf_dir: str, k: int, n_partitions: int = N_BENCH_PARTITIONS):
     """Deterministically expand the flat documents table k× and lift it to
     the interleaved (doc_id, spans) shape — pure column ops, no collect.
@@ -57,30 +76,31 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
     try:
         import __spark_entry__ as E
         from basicocr_spark import fixtures as FX
-        from basicocr_spark.operators.extraction import extract_documents_fused
+        from basicocr_spark.operators.extraction import extract_documents_fused_arrow
 
         timings: dict[str, float] = {}
 
         # -- flagship: fused extraction over the replicated interleaved corpus.
         # Methodology matches bench_scaling.py: the synthetic corpus is
-        # materialized (cached) before timing — in production the input is an
-        # Iceberg/parquet scan, not a replication expression — and one warm-up
-        # pass absorbs JIT/Arrow-worker spin-up so the timed pass measures
-        # steady-state extraction throughput.
-        docs = replicated_interleaved(spark, sf_dir, REPLICATION).cache()
+        # materialized to parquet once (in production the input is an
+        # Iceberg/parquet scan, not a replication expression), the timed
+        # region is scan -> extract -> aggregate, and one warm-up pass
+        # absorbs JIT/Arrow-worker spin-up so the timed pass measures
+        # steady-state end-to-end throughput.
+        corpus_path = materialize_corpus(spark, sf_dir, REPLICATION)
+        docs = spark.read.parquet(corpus_path)
         n_docs = docs.count()
         logits_rows = FX.gen_media_logits(E.N_ENTRY_MEDIA, FX.SEED)
         dict_lines = FX.gen_dictionary(FX.SEED)
-        extract_documents_fused(docs, logits_rows, dict_lines, FX.STOP_TERMS).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        extract_documents_fused_arrow(
+            docs, logits_rows, dict_lines, FX.STOP_TERMS
+        ).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        out = extract_documents_fused(docs, logits_rows, dict_lines, FX.STOP_TERMS)
+        out = extract_documents_fused_arrow(docs, logits_rows, dict_lines, FX.STOP_TERMS)
         n_spans = out.selectExpr("sum(size(spans)) AS n").collect()[0]["n"]
         t_extract = time.perf_counter() - t0
         timings["extraction_fused"] = round(t_extract, 3)
         docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
-        docs.unpersist()  # free executor memory before the query timings
 
         # -- headline operator queries
         headliners = [

@@ -9,6 +9,7 @@ from basicocr_spark import schemas as S
 from basicocr_spark.fixtures import STOP_TERMS
 from basicocr_spark.operators.extraction import (
     extract_documents_fused,
+    extract_documents_fused_arrow,
     extract_documents_sql,
 )
 
@@ -71,10 +72,14 @@ def test_all_three_agree_on_edges(spark, fx, adv_docs):
     fused_map = _spans_map(
         extract_documents_fused(adv_docs, logits_rows, fx["dict_lines"], STOP_TERMS)
     )
-    assert set(sql_map) == set(fused_map) == set(want)
+    arrow_map = _spans_map(
+        extract_documents_fused_arrow(adv_docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+    )
+    assert set(sql_map) == set(fused_map) == set(arrow_map) == set(want)
     for doc_id in want:
         assert sql_map[doc_id] == want[doc_id], ("sql", doc_id)
         assert fused_map[doc_id] == want[doc_id], ("fused", doc_id)
+        assert arrow_map[doc_id] == want[doc_id], ("arrow", doc_id)
 
 
 def test_sql_preserves_empty_doc(spark, fx, adv_docs):
