@@ -29,7 +29,7 @@ from basicocr_spark import queries as Q  # noqa: E402
 from basicocr_spark import reference as R  # noqa: E402
 from basicocr_spark import schemas as S  # noqa: E402
 from basicocr_spark.operators.extraction import (  # noqa: E402
-    extract_documents_fused,
+    extract_documents_fused_arrow,
     flatten_extracted,
 )
 
@@ -78,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = interleave_documents(flat)
     logits_rows = FX.gen_media_logits(N_ENTRY_MEDIA, FX.SEED)
     dict_lines = FX.gen_dictionary(FX.SEED)
-    out = extract_documents_fused(docs, logits_rows, dict_lines, FX.STOP_TERMS)
+    out = extract_documents_fused_arrow(docs, logits_rows, dict_lines, FX.STOP_TERMS)
     return flatten_extracted(out)
 
 

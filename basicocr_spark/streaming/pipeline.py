@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas as S
-from ..operators.extraction import extract_documents_fused
+from ..operators.extraction import extract_documents_fused_arrow
 from ..plans.checkpoint import SnapshotWriter
 
 
@@ -44,7 +44,7 @@ def streaming_extraction(
         pending = writer.pending(batch_df)
         if pending.isEmpty():
             return
-        out = extract_documents_fused(pending, logits_rows, dict_lines, stop_terms)
+        out = extract_documents_fused_arrow(pending, logits_rows, dict_lines, stop_terms)
         writer.commit(out, snapshot_id=f"epoch{epoch_id:06d}")
 
     stream = (

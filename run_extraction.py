@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from basicocr_spark import fixtures as FX
 from basicocr_spark import schemas as S
-from basicocr_spark.operators.extraction import extract_documents_fused
+from basicocr_spark.operators.extraction import extract_documents_fused_arrow
 from basicocr_spark.operators.salting import merge_salted_extraction, salt_heavy_docs
 from basicocr_spark.plans.checkpoint import SnapshotWriter
 
@@ -57,7 +57,7 @@ def run(
         keyed = salted.select(
             F.concat_ws("", "doc_id", "salt").alias("doc_id"), "spans"
         )
-        extracted = extract_documents_fused(keyed, logits_rows, dict_lines, FX.STOP_TERMS)
+        extracted = extract_documents_fused_arrow(keyed, logits_rows, dict_lines, FX.STOP_TERMS)
         merged = merge_salted_extraction(
             extracted.select(
                 F.split("doc_id", "")[0].alias("doc_id"),
