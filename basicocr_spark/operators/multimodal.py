@@ -176,6 +176,81 @@ def media_batches_dynamic_width(
     )
 
 
+_VMAGIC = b"BOCV"
+
+
+def encode_fake_video(media_ref: str, n_frames: int, width: int = 48, height: int = 32) -> bytes:
+    """Deterministic fake 'video': magic + frame count + concatenated
+    per-frame fake images (each frame varies with its index so sampled
+    frames are distinguishable)."""
+    frames = b"".join(
+        encode_fake_image(f"{media_ref}#{i}", width, height) for i in range(n_frames)
+    )
+    return _VMAGIC + struct.pack("<I", n_frames) + frames
+
+
+def _iter_fake_video_frames(buf: bytes):
+    """Yield (frame_idx, frame_bytes) — frames are length-delimited by
+    their own zlib stream; walk via decompressobj to find boundaries."""
+    if buf is None or len(buf) < 8 or buf[:4] != _VMAGIC:
+        return
+    (n,) = struct.unpack("<I", buf[4:8])
+    pos = 8
+    for i in range(n):
+        if buf[pos : pos + 4] != _MAGIC:
+            return
+        d = zlib.decompressobj()
+        d.decompress(buf[pos + 12 :])
+        consumed = len(buf) - pos - 12 - len(d.unused_data)
+        frame = buf[pos : pos + 12 + consumed]
+        yield i, frame
+        pos += 12 + consumed
+
+
+def sample_frames(videos: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Uniform frame sampling for video media: each blob yields
+    `n_samples` frames at evenly spaced indices (floor(j*(T-1)/(k-1))),
+    each re-emitted as a standalone image blob row ready for the image
+    pipeline (validate_media / media_features compose downstream). One
+    mapInPandas pass — a row-multiplying Arrow UDTF in effect, the
+    standard shape for video -> per-frame training examples. Videos
+    shorter than n_samples emit every frame once; undecodable blobs emit
+    nothing (P1/P2 skip semantics, dataset.py:51-55)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, frames = [], [], []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                all_frames = list(_iter_fake_video_frames(bytes(buf) if buf is not None else None))
+                t = len(all_frames)
+                if t == 0:
+                    continue
+                if t <= n_samples:
+                    take = range(t)
+                else:
+                    take = sorted({(j * (t - 1)) // (n_samples - 1) for j in range(n_samples)})
+                for j in take:
+                    i, frame = all_frames[j]
+                    refs.append(ref)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "content": frames})
+
+    return videos.mapInPandas(kernel, "media_ref string, frame_idx int, content binary")
+
+
+def build_video_table(spark, media_refs: list[str], corrupt_every: int = 5) -> DataFrame:
+    """Deterministic video fixture: frame counts vary per ref; every
+    `corrupt_every`-th blob is garbage to exercise the skip path."""
+    rows = []
+    for i, ref in enumerate(media_refs):
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            rows.append((ref, b"\x00notavideo", "video/x-bocr", None, None))
+        else:
+            rows.append((ref, encode_fake_video(ref, 3 + (i % 9)), "video/x-bocr", 48, 32))
+    return spark.createDataFrame(rows, schema=MEDIA_BLOB)
+
+
 def build_blob_table(spark, media_refs: list[str], corrupt_every: int = 7) -> DataFrame:
     """Deterministic blob fixture: every `corrupt_every`-th blob is
     truncated garbage to exercise the validity filter."""

@@ -1,6 +1,7 @@
 """Binary media plumbing: validity filter, feature extraction, stub gate."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from basicocr_spark.operators import multimodal as MM
 
@@ -55,3 +56,46 @@ def test_dynamic_width_batching(spark):
     # width derives from the batch max aspect: 32-high targets, sources
     # are (64..96)x32 so widths in [64, 96]
     assert all(64 <= w <= 96 for w in widths)
+
+
+def test_video_roundtrip():
+    buf = MM.encode_fake_video("v000001", 5)
+    frames = list(MM._iter_fake_video_frames(buf))
+    assert [i for i, _ in frames] == [0, 1, 2, 3, 4]
+    for i, frame in frames:
+        w, h, payload = MM.decode_fake_image(frame)
+        assert (w, h) == (48, 32)
+        # frames differ (content keyed by ref#idx)
+    payloads = {MM.decode_fake_image(f)[2] for _, f in frames}
+    assert len(payloads) == 5
+    assert list(MM._iter_fake_video_frames(b"junk")) == []
+    assert list(MM._iter_fake_video_frames(None)) == []
+
+
+def test_frame_sampling(spark):
+    refs = [f"v{i:06d}" for i in range(10)]
+    videos = MM.build_video_table(spark, refs, corrupt_every=5).repartition(2)
+    out = MM.sample_frames(videos, n_samples=4).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r.media_ref, []).append(r.frame_idx)
+    # corrupt blobs (every 5th) emit nothing
+    assert set(by_ref) == {r for i, r in enumerate(refs) if i % 5 != 4}
+    for i, ref in enumerate(refs):
+        if i % 5 == 4:
+            continue
+        t = 3 + (i % 9)
+        want = sorted({(j * (t - 1)) // 3 for j in range(4)}) if t > 4 else list(range(t))
+        assert sorted(by_ref[ref]) == want, (ref, t)
+
+
+def test_frame_sampling_composes_with_image_pipeline(spark):
+    refs = [f"v{i:06d}" for i in range(6)]
+    videos = MM.build_video_table(spark, refs, corrupt_every=0)
+    frames = MM.sample_frames(videos, n_samples=3).withColumn(
+        "media_ref", F.concat_ws("#", "media_ref", F.col("frame_idx").cast("string"))
+    ).withColumn("mime", F.lit("image/x-bocr"))
+    feats = MM.media_features(frames.select("media_ref", "content", "mime")).collect()
+    assert len(feats) == 3 * 6
+    for r in feats:
+        assert len(r.features) == 11
