@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correction": FQ.correction_fixture,
         "boilerplate": FQ.boilerplate_fixture,
         "extraction_e2e": FQ.extraction_e2e_fixture,
+        "pdf_layout_blocks": FQ.pdf_layout_blocks_fixture,
+        "pdf_reading_order": FQ.pdf_reading_order_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -187,5 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),
         "extraction_e2e": FQ.extraction_e2e_oracle_sql(),
+        "pdf_layout_blocks": FQ.pdf_layout_blocks_oracle_sql(),
+        "pdf_reading_order": FQ.pdf_reading_order_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -210,3 +210,61 @@ def recognition_accuracy_oracle_sql() -> str:
     return _values_sql(
         [(n_correct, n, round(n_correct / n, 6))], ["n_correct", "n_total", "accuracy"]
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF/layout parse: Spark Arrow parse of generated PDFs vs the
+# generation-time ground-truth runs (independent oracle — the expected
+# blocks are the INPUTS the bytes were built from, not parser output)
+# ---------------------------------------------------------------------------
+
+def _pdf_fixture():
+    from .operators.pdfparse import gen_pdf_fixture
+
+    return gen_pdf_fixture(16, SEED)
+
+
+def pdf_layout_blocks_fixture(spark, sf_dir):
+    from .operators.pdfparse import parse_pdf_layout
+
+    fixture = _pdf_fixture()
+    blobs = spark.createDataFrame(
+        [(ref, content) for ref, _, content in fixture],
+        "media_ref string, content binary",
+    )
+    return parse_pdf_layout(blobs)
+
+
+def pdf_layout_blocks_oracle_sql() -> str:
+    rows = []
+    for ref, pages, _ in _pdf_fixture():
+        for page_no, runs in enumerate(pages):
+            for x, y, text in runs:
+                rows.append((ref, page_no, x, y, text))
+    return _values_sql(rows, ["media_ref", "page", "x", "y", "text"])
+
+
+def pdf_reading_order_fixture(spark, sf_dir):
+    from .operators.pdfparse import pdf_documents_text
+
+    fixture = _pdf_fixture()
+    blobs = spark.createDataFrame(
+        [(ref, content) for ref, _, content in fixture],
+        "media_ref string, content binary",
+    )
+    return pdf_documents_text(blobs)
+
+
+def pdf_reading_order_oracle_sql() -> str:
+    from .operators.pdfparse import reading_order_text
+
+    rows = []
+    for ref, pages, _ in _pdf_fixture():
+        blocks = [
+            {"page": p, "x": x, "y": y, "text": t}
+            for p, runs in enumerate(pages)
+            for x, y, t in runs
+        ]
+        if blocks:
+            rows.append((ref, reading_order_text(blocks)))
+    return _values_sql(rows, ["media_ref", "text"])
