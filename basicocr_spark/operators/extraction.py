@@ -96,7 +96,9 @@ def extract_documents_sql(
         "out_text", extract_main_text(F.coalesce(F.col("text"), F.lit("")), stop_terms)
     )
 
-    media = spans.filter(F.col("kind") == "media")
+    # routing is text vs non-text; out-of-contract kinds take the media
+    # leg with their kind preserved (matches reference.extract_document)
+    media = spans.filter(F.col("kind") != "text")
     recognized = recognize_media(media, logits_df, alphabet)
     # Correction operates on the distinct recognized vocabulary, then a
     # broadcast map-join rehydrates occurrences. Decoded text over this
@@ -234,7 +236,7 @@ def extract_documents_fused(
                 for k, v in zip(text_pos, extracted.to_numpy()):
                     out_text[k] = v
             for k in range(n):
-                if kinds_arr[k] == "media":
+                if kinds_arr[k] != "text":  # non-text -> media leg
                     out_text[k] = recognize(refs[k])
 
             # group back per doc; same composite order as the SQL

@@ -421,7 +421,10 @@ def extract_document(
                 if raw
                 else raw
             )
-            processed.append((sp["offset"], "media", corrected, sp["media_ref"]))
+            # kind is data and passes through; ROUTING is text vs non-text
+            # (out-of-contract kinds take the media/recognition leg, and
+            # all four implementations agree — see edge-case tests)
+            processed.append((sp["offset"], sp["kind"], corrected, sp["media_ref"]))
     processed.sort(key=lambda p: (p[0], p[1], p[3] or "", p[2] or ""))
     return [
         {"kind": kind, "text": txt, "media_ref": mref, "order": rank}

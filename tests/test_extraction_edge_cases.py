@@ -26,6 +26,10 @@ ADVERSARIAL = [
     ),
     ("reversed_offsets", [("text", "<p>later words one two three four five</p>", None, 9),
                           ("media", None, "m000003", 2)]),
+    # out-of-contract kind: kind passes through as data, routing is
+    # text vs non-text -> the media/recognition leg handles it
+    ("unknown_kind", [("figure", None, "m000001", 1),
+                      ("text", "<p>hello world one two three</p>", None, 2)]),
 ]
 
 
