@@ -93,3 +93,22 @@ def read_stop_terms(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("term") != "")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# sinks (S9/S10)
+# ---------------------------------------------------------------------------
+
+def write_dictionary(df: DataFrame, path: str) -> None:
+    """S9 (readData.py:17-21): `word freq` lines, space-separated —
+    the on-disk format the trie corrector consumes (trietree
+    README:11). Single coalesced file is intentional: the dictionary is
+    broadcast-sized by contract."""
+    df.select("word", "freq").coalesce(1).write.mode("overwrite").csv(path, sep=" ")
+
+
+def write_text_lines(df: DataFrame, path: str, column: str = "text") -> None:
+    """S10 (Test.java:23-51): processed text, one line per row, written
+    partition-parallel (the reference's BufferedWriter is single-stream;
+    at corpus scale the sink must shard)."""
+    df.select(F.col(column).alias("value")).write.mode("overwrite").text(path)

@@ -66,9 +66,10 @@ def test_minhash_signature_stage_is_projection(spark):
 
 def test_entry_pipeline_no_python_row_udfs(spark):
     plan = _plan(E.entry(spark))
-    # the only Python node allowed is the Arrow-batched mapInPandas
+    # the only Python nodes allowed are Arrow-batched (mapInPandas /
+    # mapInArrow — the flagship switched to the latter)
     assert "BatchEvalPython" not in plan  # row-at-a-time UDFs banned
-    assert "MapInPandas" in plan
+    assert "MapInPandas" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
 
 
 def test_extraction_sql_uses_broadcast_for_logits_and_dict(spark, fx):

@@ -56,3 +56,19 @@ def test_stop_terms_dedup(spark, tmp_path):
     p = _write(str(tmp_path), "stop.txt", "the\nand\nthe\n  of  \n\n")
     terms = {r.term for r in SRC.read_stop_terms(spark, p).collect()}
     assert terms == {"the", "and", "of"}
+
+
+def test_dictionary_sink_roundtrip(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "dict_out")
+    df = spark.createDataFrame([("alpha", 3), ("beta", 9)], SRC.DICTIONARY_SCHEMA)
+    SRC.write_dictionary(df, p)
+    back = {r.word: r.freq for r in SRC.read_dictionary(spark, p).collect()}
+    assert back == {"alpha": 3, "beta": 9}
+
+
+def test_text_sink_roundtrip(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "text_out")
+    df = spark.createDataFrame([("line one",), ("line two",)], "text string")
+    SRC.write_text_lines(df, p)
+    lines = {r.value for r in spark.read.text(p).collect()}
+    assert lines == {"line one", "line two"}
