@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_e2e": FQ.extraction_e2e_fixture,
         "pdf_layout_blocks": FQ.pdf_layout_blocks_fixture,
         "pdf_reading_order": FQ.pdf_reading_order_fixture,
+        "triad_extraction": FQ.triad_extraction_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -191,5 +192,6 @@ def oracle_sql() -> dict[str, str]:
         "extraction_e2e": FQ.extraction_e2e_oracle_sql(),
         "pdf_layout_blocks": FQ.pdf_layout_blocks_oracle_sql(),
         "pdf_reading_order": FQ.pdf_reading_order_oracle_sql(),
+        "triad_extraction": FQ.triad_extraction_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -268,3 +268,80 @@ def pdf_reading_order_oracle_sql() -> str:
         if blocks:
             rows.append((ref, reading_order_text(blocks)))
     return _values_sql(rows, ["media_ref", "text"])
+
+
+# ---------------------------------------------------------------------------
+# triad extraction: text + media + pdf spans in one interleaved corpus
+# ---------------------------------------------------------------------------
+
+def _triad_fixture():
+    """Interleaved docs mixing all three span kinds. Expected output is
+    computed from independent ground truths: text spans via the
+    pure-Python reference boilerplate, media spans via the reference
+    decode+correct, pdf spans via the generation-time layout runs."""
+    from .operators.pdfparse import reading_order_text
+
+    pdfs = _pdf_fixture()
+    logits = FX.gen_media_logits(N_MEDIA, SEED)
+    entries = R.load_dictionary(FX.gen_dictionary(SEED))
+    rng = random.Random(SEED * 77)
+    docs, expected = [], []
+    for i in range(18):
+        doc_id = f"t{i:04d}"
+        spans, exp = [], []
+        off = 1
+        spans.append(("text", f"<p>body words alpha beta {i}</p>", None, off)); off += 1
+        m_ref, m_logits, _ = logits[rng.randrange(len(logits))]
+        spans.append(("media", None, m_ref, off)); off += 1
+        pdf_ref, pages, _ = pdfs[rng.randrange(len(pdfs))]
+        spans.append(("pdf", None, pdf_ref, off)); off += 1
+        docs.append((doc_id, spans))
+
+        txt = R.extract_main_text(spans[0][1], FX.STOP_TERMS)
+        exp.append(("text", txt, None))
+        raw = R.ctc_greedy_decode(m_logits)
+        corrected = (
+            " ".join(R.correct_word(t, entries, 3) for t in raw.split()) if raw else raw
+        )
+        exp.append(("media", corrected, m_ref))
+        blocks = [
+            {"page": p, "x": x, "y": y, "text": t}
+            for p, runs in enumerate(pages)
+            for x, y, t in runs
+        ]
+        pdf_text = reading_order_text(blocks) if blocks else ""
+        exp.append(("pdf", pdf_text, pdf_ref))
+        for order, (kind, text, mref) in enumerate(exp):
+            expected.append((doc_id, kind, text, mref, order))
+    return docs, expected
+
+
+def triad_extraction_fixture(spark, sf_dir):
+    from .operators.extraction import extract_documents_with_pdf_sql, flatten_extracted
+
+    docs, _ = _triad_fixture()
+    docs_df = spark.createDataFrame(
+        [(d, [(k, t, m, o) for k, t, m, o in spans]) for d, spans in docs],
+        schema=S.DOCUMENTS,
+    )
+    logits_df = spark.createDataFrame(FX.gen_media_logits(N_MEDIA, SEED), schema=S.MEDIA_LOGITS)
+    entries = R.load_dictionary(FX.gen_dictionary(SEED))
+    dict_df = spark.createDataFrame(
+        [(e.line_id, e.word, e.freq) for e in entries], schema=S.DICTIONARY
+    )
+    pdf_blobs = spark.createDataFrame(
+        [(ref, content) for ref, _, content in _pdf_fixture()],
+        "media_ref string, content binary",
+    )
+    out = extract_documents_with_pdf_sql(
+        docs_df, logits_df, dict_df, FX.STOP_TERMS, pdf_blobs
+    )
+    return flatten_extracted(out).select(
+        "doc_id", "kind", "text", F.coalesce("media_ref", F.lit("")).alias("media_ref"), "order"
+    )
+
+
+def triad_extraction_oracle_sql() -> str:
+    _, expected = _triad_fixture()
+    rows = [(d, k, t, m or "", o) for d, k, t, m, o in expected]
+    return _values_sql(rows, ["doc_id", "kind", "text", "media_ref", "order"])

@@ -167,6 +167,100 @@ def extract_documents_sql(
     )
 
 
+def extract_documents_with_pdf_sql(
+    docs: DataFrame,
+    logits_df: DataFrame,
+    dict_df: DataFrame,
+    stop_terms: list[str],
+    pdf_blobs: DataFrame,
+    alphabet: str = R.DEFAULT_ALPHABET,
+    max_cost: int = 3,
+) -> DataFrame:
+    """The full north-rule triad in one extraction: text spans ->
+    boilerplate strip, media spans -> CTC recognition + correction,
+    kind='pdf' spans -> broadcast-join the blob table -> Arrow layout
+    parse -> reading-order text. Same composite-key array_sort stitch
+    as extract_documents_sql; pdf spans whose ref is missing from the
+    blob table (or whose blob doesn't parse) emit '' like unknown media
+    refs do (dataset.py:51-55 skip-semantics analog)."""
+    from .pdfparse import pdf_documents_text
+
+    spans = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+    text_done = spans.filter(F.col("kind") == "text").withColumn(
+        "out_text", extract_main_text(F.coalesce(F.col("text"), F.lit("")), stop_terms)
+    )
+
+    pdf_spans = spans.filter(F.col("kind") == "pdf")
+    pdf_texts = pdf_documents_text(pdf_blobs)  # (media_ref, text)
+    pdf_done = pdf_spans.drop("text").join(
+        F.broadcast(pdf_texts.withColumnRenamed("text", "parsed")), "media_ref", "left"
+    ).withColumn("out_text", F.coalesce("parsed", F.lit(""))).drop("parsed")
+
+    media = spans.filter(~F.col("kind").isin("text", "pdf"))
+    recognized = recognize_media(media, logits_df, alphabet)
+    vocab = recognized.select(F.col("raw_text").alias("token")).filter(F.col("token") != "")
+    corrections = correct_tokens(vocab, dict_df, max_cost=max_cost)
+    media_done = (
+        recognized.withColumn("token", uniform(F.col("raw_text")))
+        .join(F.broadcast(corrections), "token", "left")
+        .withColumn("out_text", F.coalesce("corrected", F.col("token")))
+        .drop("token", "corrected", "raw_text")
+    )
+
+    cols = ["doc_id", "kind", "out_text", "media_ref", "offset"]
+    unioned = (
+        text_done.select(*cols)
+        .unionByName(pdf_done.select(*cols))
+        .unionByName(media_done.select(*cols))
+    )
+    agg = unioned.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("offset"),
+                    F.col("kind"),
+                    F.coalesce("media_ref", F.lit("")).alias("mref_key"),
+                    F.coalesce("out_text", F.lit("")).alias("text_key"),
+                    F.col("out_text"),
+                    F.col("media_ref"),
+                )
+            )
+        ).alias("sorted_spans")
+    )
+    stitched = agg.select(
+        "doc_id",
+        F.transform(
+            F.col("sorted_spans"),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["out_text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).alias("spans"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stitched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "spans",
+                F.array().cast(
+                    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
 def extract_documents_fused(
     docs: DataFrame,
     logits_rows: list[tuple],
