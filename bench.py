@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
+# 120x -> 600k docs: the arrow kernel clears 200k docs in under 2s at
+# 32 threads, which is too short a timed region for a stable headline
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "120"))
 
 
 N_BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
