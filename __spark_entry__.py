@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_blocks": FQ.pdf_layout_blocks_fixture,
         "pdf_reading_order": FQ.pdf_reading_order_fixture,
         "triad_extraction": FQ.triad_extraction_fixture,
+        "detection_groups": FQ.detection_groups_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -193,5 +194,6 @@ def oracle_sql() -> dict[str, str]:
         "pdf_layout_blocks": FQ.pdf_layout_blocks_oracle_sql(),
         "pdf_reading_order": FQ.pdf_reading_order_oracle_sql(),
         "triad_extraction": FQ.triad_extraction_oracle_sql(),
+        "detection_groups": FQ.detection_groups_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -42,7 +42,11 @@ def _values_sql(rows: list[tuple], cols: list[str]) -> str:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # bare decimal literals parse as DECIMAL in DuckDB; the Spark
+            # side emits DOUBLE and e.g. Decimal('0.958667') != 0.958667
+            return f"CAST({v!r} AS DOUBLE)"
+        if isinstance(v, int):
             return repr(v)
         return _sql_quote(str(v))
 
@@ -345,3 +349,63 @@ def triad_extraction_oracle_sql() -> str:
     _, expected = _triad_fixture()
     rows = [(d, k, t, m or "", o) for d, k, t, m, o in expected]
     return _values_sql(rows, ["doc_id", "kind", "text", "media_ref", "order"])
+
+
+# ---------------------------------------------------------------------------
+# detection: anchor-proposal grouping (α/β filter + union-find + Alg.1
+# combine) vs the reference union-find ground truth
+# ---------------------------------------------------------------------------
+
+def detection_groups_fixture(spark, sf_dir):
+    """One row per combined text line: the Spark Arrow kernel's α/β
+    filter -> union-find -> extent-union/mean-θ combine, flattened for
+    the driver compare. Oracle: the same fixture's golden groups come
+    from reference.group_segments (an independent pure-Python
+    union-find), with the combine arithmetic recomputed numpy-identically."""
+    from .operators.detection import group_segments_df
+
+    rows = FX.gen_boxes(N_MEDIA, SEED)
+    boxes_df = spark.createDataFrame(rows, schema=S.BOXES)
+    out = group_segments_df(boxes_df)
+    z = F.posexplode(F.arrays_zip("groups", "combined"))
+    return out.select("media_ref", z.alias("gi", "g")).select(
+        "media_ref",
+        F.col("gi").cast("int").alias("group_idx"),
+        F.array_join(F.transform(F.col("g.groups"), lambda m: m.cast("string")), ",").alias(
+            "members"
+        ),
+        F.round("g.combined.x", 6).alias("x"),
+        F.round("g.combined.y", 6).alias("y"),
+        F.round("g.combined.w", 6).alias("w"),
+        F.round("g.combined.h", 6).alias("h"),
+        F.round("g.combined.theta", 6).alias("theta"),
+        F.round("g.combined.score", 6).alias("score"),
+    )
+
+
+def detection_groups_oracle_sql() -> str:
+    import numpy as np
+
+    rows = []
+    for ref, boxes, links, gold in FX.gen_boxes(N_MEDIA, SEED):
+        for gi, g in enumerate(gold):
+            xs0 = [boxes[i][0] - boxes[i][2] / 2 for i in g]
+            xs1 = [boxes[i][0] + boxes[i][2] / 2 for i in g]
+            ys0 = [boxes[i][1] - boxes[i][3] / 2 for i in g]
+            ys1 = [boxes[i][1] + boxes[i][3] / 2 for i in g]
+            rows.append(
+                (
+                    ref,
+                    gi,
+                    ",".join(str(i) for i in sorted(g)),
+                    round((min(xs0) + max(xs1)) / 2, 6),
+                    round((min(ys0) + max(ys1)) / 2, 6),
+                    round(max(xs1) - min(xs0), 6),
+                    round(max(ys1) - min(ys0), 6),
+                    round(float(np.mean([boxes[i][4] for i in g])), 6),
+                    round(float(np.mean([boxes[i][5] for i in g])), 6),
+                )
+            )
+    return _values_sql(
+        rows, ["media_ref", "group_idx", "members", "x", "y", "w", "h", "theta", "score"]
+    )
