@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_reading_order": FQ.pdf_reading_order_fixture,
         "triad_extraction": FQ.triad_extraction_fixture,
         "detection_groups": FQ.detection_groups_fixture,
+        "detection_nms": FQ.detection_nms_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -195,5 +196,6 @@ def oracle_sql() -> dict[str, str]:
         "pdf_reading_order": FQ.pdf_reading_order_oracle_sql(),
         "triad_extraction": FQ.triad_extraction_oracle_sql(),
         "detection_groups": FQ.detection_groups_oracle_sql(),
+        "detection_nms": FQ.detection_nms_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

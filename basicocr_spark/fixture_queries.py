@@ -409,3 +409,29 @@ def detection_groups_oracle_sql() -> str:
     return _values_sql(
         rows, ["media_ref", "group_idx", "members", "x", "y", "w", "h", "theta", "score"]
     )
+
+
+def detection_nms_fixture(spark, sf_dir):
+    """W5 NMS per media span (score-desc greedy suppress at IoU 0.5),
+    kept indices joined to a stable string; oracle = reference.nms, the
+    independent pure-Python greedy implementation, on the same boxes."""
+    from .operators.detection import nms_df
+
+    rows = FX.gen_boxes(N_MEDIA, SEED)
+    boxes_df = spark.createDataFrame(rows, schema=S.BOXES)
+    out = nms_df(boxes_df)
+    return out.select(
+        "media_ref",
+        F.size("kept").cast("int").alias("n_kept"),
+        F.array_join(F.transform(F.col("kept"), lambda m: m.cast("string")), ",").alias(
+            "kept"
+        ),
+    )
+
+
+def detection_nms_oracle_sql() -> str:
+    rows = []
+    for ref, boxes, _, _ in FX.gen_boxes(N_MEDIA, SEED):
+        kept = R.nms([(x, y, w, h) for x, y, w, h, _, _ in boxes], [b[5] for b in boxes])
+        rows.append((ref, len(kept), ",".join(str(i) for i in kept)))
+    return _values_sql(rows, ["media_ref", "n_kept", "kept"])
