@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_extraction": FQ.triad_extraction_fixture,
         "detection_groups": FQ.detection_groups_fixture,
         "detection_nms": FQ.detection_nms_fixture,
+        "detection_default_boxes": FQ.detection_default_boxes_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -197,5 +198,6 @@ def oracle_sql() -> dict[str, str]:
         "triad_extraction": FQ.triad_extraction_oracle_sql(),
         "detection_groups": FQ.detection_groups_oracle_sql(),
         "detection_nms": FQ.detection_nms_oracle_sql(),
+        "detection_default_boxes": FQ.detection_default_boxes_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

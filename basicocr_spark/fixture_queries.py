@@ -435,3 +435,46 @@ def detection_nms_oracle_sql() -> str:
         kept = R.nms([(x, y, w, h) for x, y, w, h, _, _ in boxes], [b[5] for b in boxes])
         rows.append((ref, len(kept), ",".join(str(i) for i in kept)))
     return _values_sql(rows, ["media_ref", "n_kept", "kept"])
+
+
+def detection_default_boxes_fixture(spark, sf_dir):
+    """Anchor-proposal generation (TextBoxes default boxes,
+    textbox.md:25-53): 6 aspect ratios x 2 vertical offsets per
+    feature-map cell over an 8x8 grid, emitted via a higher-order array
+    + posexplode — pure closed-form Catalyst arithmetic with a pure-SQL
+    DuckDB oracle (no VALUES constants)."""
+    from .operators.detection import default_boxes
+
+    cs = F.lit(8.0)
+    grid = (
+        spark.range(8).select(F.col("id").alias("i"))
+        .crossJoin(spark.range(8).select(F.col("id").alias("j")))
+    )
+    z = F.posexplode(default_boxes(F.col("i") * cs, F.col("j") * cs, cs))
+    return grid.select("i", "j", z.alias("k", "b")).select(
+        (F.col("i") * 8 + F.col("j")).alias("cell"),
+        F.col("k").cast("int").alias("box_idx"),
+        F.round("b.x", 6).alias("x"),
+        F.round("b.y", 6).alias("y"),
+        F.round("b.w", 6).alias("w"),
+        F.round("b.h", 6).alias("h"),
+    )
+
+
+def detection_default_boxes_oracle_sql() -> str:
+    return """
+WITH cells AS (
+  SELECT t1.i, t2.j FROM generate_series(0, 7) t1(i) CROSS JOIN generate_series(0, 7) t2(j)
+), ratios AS (
+  SELECT * FROM (VALUES (0, 1.0), (1, 2.0), (2, 3.0), (3, 5.0), (4, 7.0), (5, 10.0)) r(ri, r)
+), dys AS (
+  SELECT * FROM (VALUES (0, 0.0), (1, 0.5)) d(di, dy)
+)
+SELECT i * 8 + j AS cell,
+       ri * 2 + di AS box_idx,
+       round(i * 8.0 + 0.5 * 8.0, 6) AS x,
+       round(j * 8.0 + (0.5 + dy) * 8.0, 6) AS y,
+       round(8.0 * sqrt(r), 6) AS w,
+       round(8.0 / sqrt(r), 6) AS h
+FROM cells CROSS JOIN ratios CROSS JOIN dys
+"""
