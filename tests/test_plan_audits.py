@@ -94,3 +94,22 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert df.count() == n_click
+
+
+def test_relational_headliners_broadcast_dims(spark):
+    """q5's 6-way star join must resolve every dimension side to a
+    broadcast hash join (zero sort-merge) with filters pushed to the
+    scan — the plan shape that survives a 100x fact-table scale-up."""
+    qm = E.queries()
+    plan = qm["q5_region_revenue"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q1_single_shuffle_partial_agg(spark):
+    """q1 is one partial+final hash aggregation: exactly one Exchange."""
+    qm = E.queries()
+    plan = qm["q1_pricing_summary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
