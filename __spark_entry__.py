@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detection_groups": FQ.detection_groups_fixture,
         "detection_nms": FQ.detection_nms_fixture,
         "detection_default_boxes": FQ.detection_default_boxes_fixture,
+        "salted_extraction": FQ.salted_extraction_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -199,5 +200,6 @@ def oracle_sql() -> dict[str, str]:
         "detection_groups": FQ.detection_groups_oracle_sql(),
         "detection_nms": FQ.detection_nms_oracle_sql(),
         "detection_default_boxes": FQ.detection_default_boxes_oracle_sql(),
+        "salted_extraction": FQ.salted_extraction_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -478,3 +478,75 @@ SELECT i * 8 + j AS cell,
        round(8.0 / sqrt(r), 6) AS h
 FROM cells CROSS JOIN ratios CROSS JOIN dys
 """
+
+
+# ---------------------------------------------------------------------------
+# skew salting: heavy-doc slice -> extract -> merge == unsalted golden
+# ---------------------------------------------------------------------------
+
+def _heavy_docs():
+    """Fixture docs with a heavy tail: every 5th doc's spans replicated
+    to ~40x (re-offset sequentially) — the spans-per-doc skew the salting
+    operator exists for."""
+    docs = FX.gen_documents(N_DOCS, N_MEDIA, SEED)
+    out = []
+    for i, (doc_id, spans) in enumerate(docs):
+        if i % 5 == 0:
+            reps, off = [], 1
+            for _ in range(40):
+                for sp in spans:
+                    reps.append({**sp, "offset": off})
+                    off += 1
+            out.append((doc_id, reps))
+        else:
+            out.append((doc_id, spans))
+    return out
+
+
+def salted_extraction_fixture(spark, sf_dir):
+    """Map-side skew handling end-to-end: salt_heavy_docs bounds every
+    row at 64 spans, the arrow kernel extracts each slice independently
+    (composite doc_id#salt key), merge_salted_extraction re-sorts and
+    renumbers globally. Oracle: the pure-Python reference extractor on
+    the UNSALTED docs — the whole salt/extract/merge path must be
+    semantics-preserving."""
+    from .operators.extraction import extract_documents_fused_arrow, flatten_extracted
+    from .operators.salting import merge_salted_extraction, salt_heavy_docs
+
+    docs = _heavy_docs()
+    docs_df = spark.createDataFrame(
+        [
+            (d, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for d, spans in docs
+        ],
+        schema=S.DOCUMENTS,
+    )
+    logits = FX.gen_media_logits(N_MEDIA, SEED)
+    dict_lines = FX.gen_dictionary(SEED)
+    salted = salt_heavy_docs(docs_df, max_spans=64)
+    extracted = extract_documents_fused_arrow(
+        salted.select(F.concat_ws("#", "doc_id", "salt").alias("doc_id"), "spans"),
+        logits,
+        dict_lines,
+        FX.STOP_TERMS,
+    )
+    parts = extracted.select(
+        F.split("doc_id", "#")[0].alias("doc_id"),
+        F.split("doc_id", "#")[1].cast("int").alias("salt"),
+        "spans",
+    )
+    merged = merge_salted_extraction(parts)
+    return flatten_extracted(merged).select(
+        "doc_id", "order", "kind", "text", F.coalesce("media_ref", F.lit("")).alias("media_ref")
+    )
+
+
+def salted_extraction_oracle_sql() -> str:
+    logits = FX.gen_media_logits(N_MEDIA, SEED)
+    gold = FX.golden_extraction(_heavy_docs(), logits, FX.gen_dictionary(SEED))
+    rows = [
+        (doc_id, s["order"], s["kind"], s["text"], s["media_ref"] or "")
+        for doc_id, spans in gold
+        for s in spans
+    ]
+    return _values_sql(rows, ["doc_id", "order", "kind", "text", "media_ref"])
