@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detection_nms": FQ.detection_nms_fixture,
         "detection_default_boxes": FQ.detection_default_boxes_fixture,
         "salted_extraction": FQ.salted_extraction_fixture,
+        "video_frame_sample": FQ.video_frame_sample_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
     }
 
@@ -201,5 +202,6 @@ def oracle_sql() -> dict[str, str]:
         "detection_nms": FQ.detection_nms_oracle_sql(),
         "detection_default_boxes": FQ.detection_default_boxes_oracle_sql(),
         "salted_extraction": FQ.salted_extraction_oracle_sql(),
+        "video_frame_sample": FQ.video_frame_sample_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -550,3 +550,35 @@ def salted_extraction_oracle_sql() -> str:
         for s in spans
     ]
     return _values_sql(rows, ["doc_id", "order", "kind", "text", "media_ref"])
+
+
+def video_frame_sample_fixture(spark, sf_dir):
+    """Multimodal frame sampling: deterministic fake-video fixtures ->
+    uniform-index sampled frames, emitting (media_ref, frame_idx,
+    frame_bytes length). Oracle: the sampling index formula over the
+    generator's known frame counts (corrupt blobs emit nothing)."""
+    from .operators.multimodal import build_video_table, sample_frames
+
+    refs = [f"v{i:06d}" for i in range(20)]
+    videos = build_video_table(spark, refs, corrupt_every=5)
+    return sample_frames(videos, n_samples=4).select(
+        "media_ref",
+        "frame_idx",
+        F.length("content").cast("long").alias("frame_bytes"),
+    )
+
+
+def video_frame_sample_oracle_sql() -> str:
+    from .operators.multimodal import encode_fake_image
+
+    rows = []
+    for i in range(20):
+        if i % 5 == 4:
+            continue  # corrupt blob: no frames
+        ref = f"v{i:06d}"
+        t = 3 + (i % 9)
+        take = sorted({(j * (t - 1)) // 3 for j in range(4)}) if t > 4 else list(range(t))
+        for idx in take:
+            frame_len = len(encode_fake_image(f"{ref}#{idx}", 48, 32))
+            rows.append((ref, idx, frame_len))
+    return _values_sql(rows, ["media_ref", "frame_idx", "frame_bytes"])
