@@ -178,6 +178,35 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return df.select(id_col, text_col).mapInPandas(gen, schema=f"{id_col} {id_type}, simhash long")
 
 
+def minhash_and_shingles_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, k_sig: int = 3, k_verify: int = 2,
+) -> DataFrame:
+    """One Arrow pass emitting BOTH the minhash signature (k_sig
+    shingles) and the sorted-unique k_verify shingle-hash set — the
+    signature table a production near-dup job materializes once and
+    reuses for candidate generation AND verification, instead of
+    re-scanning the corpus per consumer branch."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, "
+        + ", ".join(f"mh{j} long" for j in range(num_hashes))
+        + ", sh array<long>"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            sig = minhash_batch(texts, num_hashes, k_sig)
+            out = {id_col: pdf[id_col]}
+            for j in range(num_hashes):
+                out[f"mh{j}"] = sig[:, j]
+            out["sh"] = shingle_hash_sets_batch(texts, k_verify)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def shingle_hash_sets_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
 ) -> DataFrame:

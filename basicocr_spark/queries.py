@@ -706,15 +706,40 @@ def docs_near_dup_verified(spark, sf_dir):
     verification on candidates only (precision). Exact pairwise Jaccard
     over all doc pairs is quadratic; this verifies only the ~O(dups)
     candidate set — the shape that survives 10^12 docs."""
-    cands = docs_minhash_lsh_pairs(spark, sf_dir)
     d = _t_wide(spark, sf_dir, "documents")
-    # verify over HASHED shingle sets: 8-byte longs shuffle ~10x lighter
-    # than the shingle strings across the candidate join, and the oracle
-    # computes the identical hash so parity is exact (Arrow kernel,
-    # pinned to the expression form in tests/test_hash_kernels.py)
-    sh = HK.shingle_hash_sets_df(d, k=2)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # ONE kernel pass computes signatures AND verification shingle sets,
+    # materialized via localCheckpoint — the signature table a production
+    # job persists once and reuses for both candidate generation and
+    # verification (three separate kernel scans of the corpus otherwise:
+    # the band join's side plus each verify branch). Hashed shingle sets
+    # (8-byte longs) also shuffle ~10x lighter than the shingle strings;
+    # the oracle computes the identical hash so parity is exact.
+    sigs = HK.minhash_and_shingles_df(
+        d, num_hashes=N_MINHASH, k_sig=3, k_verify=2
+    ).localCheckpoint()
+    bands = []
+    for bi in range(N_MINHASH // BAND_SIZE):
+        lo = bi * BAND_SIZE
+        band_sig = F.col(f"mh{lo}")
+        for o in range(1, BAND_SIZE):
+            band_sig = (band_sig * F.lit(BAND_MULT) + F.col(f"mh{lo + o}")) % F.lit(MOD)
+        bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
