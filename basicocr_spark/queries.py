@@ -629,7 +629,9 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     All signature math is higher-order-function projection (no explode
     until the 4-band emit); the only shuffle is the band-bucket join."""
     d = _t_wide(spark, sf_dir, "documents")
-    sigs = _minhash_sigs(d)
+    # materialize once: the band self-join would otherwise execute the
+    # signature kernel on BOTH sides (two full corpus scans)
+    sigs = _minhash_sigs(d).localCheckpoint()
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
