@@ -212,17 +212,28 @@ def reading_order_text(blocks: list[dict], line_tol: float = 3.0) -> str:
     A8 'segment combine' of the PDF leg."""
     out_lines: list[str] = []
     for page in sorted({b["page"] for b in blocks}):
+        # total order (y desc, x asc, text asc): output is a pure
+        # function of the block MULTISET, not of stream arrival order —
+        # runs at identical coordinates would otherwise tie-break by
+        # input order (caught by the permutation-invariance property test)
         runs = sorted(
-            (b for b in blocks if b["page"] == page), key=lambda b: (-b["y"], b["x"])
+            (b for b in blocks if b["page"] == page),
+            key=lambda b: (-b["y"], b["x"], b["text"]),
         )
         current: list[dict] = []
+
+        def flush():
+            out_lines.append(
+                " ".join(c["text"] for c in sorted(current, key=lambda c: (c["x"], c["text"])))
+            )
+
         for r in runs:
             if current and abs(current[0]["y"] - r["y"]) > line_tol:
-                out_lines.append(" ".join(c["text"] for c in sorted(current, key=lambda c: c["x"])))
+                flush()
                 current = []
             current.append(r)
         if current:
-            out_lines.append(" ".join(c["text"] for c in sorted(current, key=lambda c: c["x"])))
+            flush()
     return "\n".join(out_lines)
 
 
