@@ -52,6 +52,23 @@ EXTRACTED_SPAN_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
 )
 
+# Per-Python-worker memo store, keyed by a per-job token closed over by
+# the kernel. Spark reuses worker processes across a job's partitions,
+# so decode+correct memos (and the compiled boilerplate extractor)
+# survive partition boundaries — rebuilding them per partition costs
+# ~0.23 s x n_partitions of pure recompute at 128 partitions. Bounded:
+# entries are per distinct media_ref / decoded token; cleared when a new
+# job token first appears (previous job's cache is then dead weight).
+_WORKER_CACHE: dict[str, dict] = {}
+
+
+def _job_cache(token: str, builder):
+    cache = _WORKER_CACHE.get(token)
+    if cache is None:
+        _WORKER_CACHE.clear()
+        cache = _WORKER_CACHE[token] = builder()
+    return cache
+
 
 def recognize_media(
     media_spans: DataFrame, logits_df: DataFrame, alphabet: str = R.DEFAULT_ALPHABET
@@ -274,19 +291,31 @@ def extract_documents_fused(
     production the recognition model rides the same way); per-batch
     memoization makes correction cost proportional to the batch's
     distinct vocabulary."""
+    import uuid
+
     sc = docs.sparkSession.sparkContext
     b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
     b_dict = sc.broadcast(dict_lines)
     b_stop = sc.broadcast(list(stop_terms))
+    job_token = uuid.uuid4().hex
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .boilerplate_vec import make_vectorized_extractor
 
         logits_by_ref = b_logits.value
-        entries = R.load_dictionary(b_dict.value)
-        extract_text_vec = make_vectorized_extractor(b_stop.value)
-        corr_memo: dict[str, str] = {}
-        media_memo: dict[str, str] = {}
+        cache = _job_cache(
+            job_token,
+            lambda: {
+                "entries": R.load_dictionary(b_dict.value),
+                "extract": make_vectorized_extractor(b_stop.value),
+                "corr": {},
+                "media": {},
+            },
+        )
+        entries = cache["entries"]
+        extract_text_vec = cache["extract"]
+        corr_memo: dict[str, str] = cache["corr"]
+        media_memo: dict[str, str] = cache["media"]
 
         def recognize(ref: str) -> str:
             # media_refs repeat across docs (shared assets); decode+correct
@@ -370,6 +399,8 @@ def extract_documents_fused_arrow(
     the output list<struct> is rebuilt from offsets. Same zero-shuffle
     single-pass shape; this exists because the nested-struct dict
     marshalling is the pandas kernel's dominant cost at scale."""
+    import uuid
+
     import numpy as np
     import pyarrow as pa
 
@@ -377,6 +408,7 @@ def extract_documents_fused_arrow(
     b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
     b_dict = sc.broadcast(dict_lines)
     b_stop = sc.broadcast(list(stop_terms))
+    job_token = uuid.uuid4().hex
 
     out_type = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
@@ -386,10 +418,19 @@ def extract_documents_fused_arrow(
         from .boilerplate_vec import make_vectorized_extractor
 
         logits_by_ref = b_logits.value
-        entries = R.load_dictionary(b_dict.value)
-        extract_text_vec = make_vectorized_extractor(b_stop.value)
-        corr_memo: dict[str, str] = {}
-        media_memo: dict[str, str] = {}
+        cache = _job_cache(
+            job_token,
+            lambda: {
+                "entries": R.load_dictionary(b_dict.value),
+                "extract": make_vectorized_extractor(b_stop.value),
+                "corr": {},
+                "media": {},
+            },
+        )
+        entries = cache["entries"]
+        extract_text_vec = cache["extract"]
+        corr_memo: dict[str, str] = cache["corr"]
+        media_memo: dict[str, str] = cache["media"]
 
         def recognize(ref: str) -> str:
             txt = media_memo.get(ref)
@@ -500,11 +541,14 @@ def extract_spans_flat(
     the Python boundary, which is the nested variant's main marshalling
     cost. Requires the input contract (offsets unique per doc).
     """
+    import uuid
+
     sc = spans_flat.sparkSession.sparkContext
     b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
     b_dict = sc.broadcast(dict_lines)
     b_stop = sc.broadcast(list(stop_terms))
     n = n_partitions or sc.defaultParallelism * 2
+    job_token = uuid.uuid4().hex
 
     arranged = spans_flat.repartitionByRange(n, "doc_id").sortWithinPartitions(
         "doc_id", "offset"
@@ -514,10 +558,19 @@ def extract_spans_flat(
         from .boilerplate_vec import make_vectorized_extractor
 
         logits_by_ref = b_logits.value
-        entries = R.load_dictionary(b_dict.value)
-        extract_text_vec = make_vectorized_extractor(b_stop.value)
-        corr_memo: dict[str, str] = {}
-        media_memo: dict[str, str] = {}
+        cache = _job_cache(
+            job_token,
+            lambda: {
+                "entries": R.load_dictionary(b_dict.value),
+                "extract": make_vectorized_extractor(b_stop.value),
+                "corr": {},
+                "media": {},
+            },
+        )
+        entries = cache["entries"]
+        extract_text_vec = cache["extract"]
+        corr_memo: dict[str, str] = cache["corr"]
+        media_memo: dict[str, str] = cache["media"]
 
         def recognize(ref):
             txt = media_memo.get(ref)
