@@ -98,13 +98,18 @@ def _segment_layout(counts: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
 
-def minhash_batch(texts: list[str], num_hashes: int, k: int) -> np.ndarray:
+def minhash_batch(
+    texts: list[str], num_hashes: int, k: int, toks: list[list[str]] | None = None
+) -> np.ndarray:
     """(n_docs, num_hashes) int64 minhash signatures. Every doc has at
     least one shingle (word_shingles emits the whole text when short),
-    so the per-doc minimum reductions are over non-empty segments."""
+    so the per-doc minimum reductions are over non-empty segments.
+    Pass `toks` to reuse an existing tokenization (fused kernel)."""
     if not texts:
         return np.zeros((0, num_hashes), dtype=np.int64)
-    sh_per_doc = [_shingles(_tokens(t), k) for t in texts]
+    if toks is None:
+        toks = [_tokens(t) for t in texts]
+    sh_per_doc = [_shingles(t, k) for t in toks]
     counts = np.fromiter((len(s) for s in sh_per_doc), dtype=np.int64, count=len(sh_per_doc))
     flat = [s for doc in sh_per_doc for s in doc]
     H = poly_hash_flat(flat)
@@ -135,14 +140,26 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     return ((votes > 0) * weights).sum(axis=1).astype(np.int64)
 
 
-def shingle_hash_sets_batch(texts: list[str], k: int) -> list[list[int]]:
+def shingle_hash_sets_batch(
+    texts: list[str], k: int, toks: list[list[str]] | None = None
+) -> list[list[int]]:
     """Per-doc sorted-unique shingle-hash sets (array_distinct order is
-    irrelevant downstream — only intersection/union sizes are used)."""
-    out = []
-    for t in texts:
-        H = poly_hash_flat(_shingles(_tokens(t), k))
-        out.append(np.unique(H).tolist())
-    return out
+    irrelevant downstream — only intersection/union sizes are used).
+    All docs' shingles hash in ONE flat poly_hash_flat call; per-doc
+    np.unique runs over segment views (per-doc poly-hash dispatch was
+    the dominant cost for short docs). Pass `toks` to reuse an existing
+    tokenization."""
+    if not texts:
+        return []
+    if toks is None:
+        toks = [_tokens(t) for t in texts]
+    sh_per_doc = [_shingles(t, k) for t in toks]
+    counts = np.fromiter((len(s) for s in sh_per_doc), dtype=np.int64, count=len(sh_per_doc))
+    H = poly_hash_flat([s for doc in sh_per_doc for s in doc])
+    offsets = _segment_layout(counts)
+    return [
+        np.unique(H[a : a + c]).tolist() for a, c in zip(offsets, counts)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -197,11 +214,12 @@ def minhash_and_shingles_df(
     def gen(batches):
         for pdf in batches:
             texts = pdf[text_col].tolist()
-            sig = minhash_batch(texts, num_hashes, k_sig)
+            toks = [_tokens(t) for t in texts]  # tokenize ONCE for both
+            sig = minhash_batch(texts, num_hashes, k_sig, toks=toks)
             out = {id_col: pdf[id_col]}
             for j in range(num_hashes):
                 out[f"mh{j}"] = sig[:, j]
-            out["sh"] = shingle_hash_sets_batch(texts, k_verify)
+            out["sh"] = shingle_hash_sets_batch(texts, k_verify, toks=toks)
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

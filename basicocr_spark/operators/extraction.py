@@ -91,6 +91,58 @@ def recognize_media(
     )
 
 
+def _stitch_spans(unioned: DataFrame, docs: DataFrame) -> DataFrame:
+    """Shared re-aggregation stitch for the SQL pipelines: array_sort on
+    the composite key (offset, kind, media_ref-or-'', text-or-'')
+    restores in-doc order deterministically regardless of shuffle
+    arrival order (order is carried by data, not partition layout, so
+    the plan stays correct under AQE re-planning); the rank-index
+    becomes `order`; zero-span docs dropped by the explode are restored
+    with empty arrays (fused pipelines and the oracle preserve them).
+    This is the cross-implementation equality surface — single source
+    of truth so the sort key cannot silently diverge between the SQL
+    variants."""
+    agg = unioned.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("offset"),
+                    F.col("kind"),
+                    F.coalesce("media_ref", F.lit("")).alias("mref_key"),
+                    F.coalesce("out_text", F.lit("")).alias("text_key"),
+                    F.col("out_text"),
+                    F.col("media_ref"),
+                )
+            )
+        ).alias("sorted_spans")
+    )
+    stitched = agg.select(
+        "doc_id",
+        F.transform(
+            F.col("sorted_spans"),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["out_text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).alias("spans"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stitched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "spans",
+                F.array().cast(
+                    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
 def extract_documents_sql(
     docs: DataFrame,
     logits_df: DataFrame,
@@ -133,55 +185,7 @@ def extract_documents_sql(
         media_done.select("doc_id", "kind", "out_text", "media_ref", "offset")
     )
 
-    # Re-aggregate: array_sort on (offset, kind, media_ref, text)
-    # restores in-doc order deterministically regardless of shuffle
-    # arrival order, then the rank-index becomes `order`. Offsets are
-    # strictly increasing per the input contract; the trailing keys make
-    # out-of-contract ties deterministic and identical to the fused
-    # pipeline. collect_list + array_sort beats sortWithinPartitions-
-    # reliance: order is carried by data, not partition layout, so the
-    # plan stays correct under AQE re-planning.
-    agg = unioned.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("offset"),
-                    F.col("kind"),
-                    F.coalesce("media_ref", F.lit("")).alias("mref_key"),
-                    F.coalesce("out_text", F.lit("")).alias("text_key"),
-                    F.col("out_text"),
-                    F.col("media_ref"),
-                )
-            )
-        ).alias("sorted_spans")
-    )
-    stitched = agg.select(
-        "doc_id",
-        F.transform(
-            F.col("sorted_spans"),
-            lambda s, i: F.struct(
-                s["kind"].alias("kind"),
-                s["out_text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                i.cast("int").alias("order"),
-            ),
-        ).alias("spans"),
-    )
-    # explode drops zero-span docs; restore them with empty output arrays
-    # (the fused pipeline and the oracle both preserve them).
-    return (
-        docs.select("doc_id")
-        .join(stitched, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                "spans",
-                F.array().cast(
-                    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
-                ),
-            ).alias("spans"),
-        )
-    )
+    return _stitch_spans(unioned, docs)
 
 
 def extract_documents_with_pdf_sql(
@@ -237,45 +241,7 @@ def extract_documents_with_pdf_sql(
         .unionByName(pdf_done.select(*cols))
         .unionByName(media_done.select(*cols))
     )
-    agg = unioned.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("offset"),
-                    F.col("kind"),
-                    F.coalesce("media_ref", F.lit("")).alias("mref_key"),
-                    F.coalesce("out_text", F.lit("")).alias("text_key"),
-                    F.col("out_text"),
-                    F.col("media_ref"),
-                )
-            )
-        ).alias("sorted_spans")
-    )
-    stitched = agg.select(
-        "doc_id",
-        F.transform(
-            F.col("sorted_spans"),
-            lambda s, i: F.struct(
-                s["kind"].alias("kind"),
-                s["out_text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                i.cast("int").alias("order"),
-            ),
-        ).alias("spans"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(stitched, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                "spans",
-                F.array().cast(
-                    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
-                ),
-            ).alias("spans"),
-        )
-    )
+    return _stitch_spans(unioned, docs)
 
 
 def extract_documents_fused(

@@ -227,6 +227,8 @@ def sample_frames(videos: DataFrame, n_samples: int = 4) -> DataFrame:
                     continue
                 if t <= n_samples:
                     take = range(t)
+                elif n_samples == 1:
+                    take = [0]  # degenerate k=1 case of the index formula
                 else:
                     take = sorted({(j * (t - 1)) // (n_samples - 1) for j in range(n_samples)})
                 for j in take:

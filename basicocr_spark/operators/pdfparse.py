@@ -115,9 +115,11 @@ def _unescape(raw: bytes) -> str:
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < len(raw):
             nxt = raw[i + 1 : i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            # octal escape: only [0-7] digits count — \8 or \9 is a
+            # literal-char escape per spec (and int(..., 8) would raise)
+            if nxt in b"01234567":
                 j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                while j < len(raw) and j < i + 4 and raw[j : j + 1] in b"01234567":
                     j += 1
                 out += bytes([int(raw[i + 1 : j], 8) & 0xFF])
                 i = j
@@ -130,13 +132,16 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# a literal length is digits NOT followed by "<gen> R" — `/Length 5 0 R`
+# is an indirect object reference, not a byte count
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 
 
 def _stream_payload(body: bytes) -> bytes | None:
-    """Content-stream bytes of an object body. Prefer /Length (stream
-    data is arbitrary binary and may contain 'endstream' byte runs);
-    fall back to the delimiter scan for streams without it."""
+    """Content-stream bytes of an object body. Prefer a LITERAL /Length
+    (stream data is arbitrary binary and may contain 'endstream' byte
+    runs); indirect /Length references (N 0 R) and absent lengths fall
+    back to the delimiter scan."""
     start = body.find(b"stream")
     if start < 0:
         return None
@@ -183,7 +188,15 @@ def extract_pdf_text_blocks(buf: bytes | None) -> list[dict]:
             try:
                 data = zlib.decompress(data)
             except zlib.error:
-                continue
+                # the /Length-sliced payload may be wrong (corrupt or
+                # misdeclared length) — retry with the delimiter scan
+                sm = _STREAM_RE.search(body)
+                if sm is None:
+                    continue
+                try:
+                    data = zlib.decompress(sm.group(1))
+                except zlib.error:
+                    continue
         for bt in _BT_RE.finditer(data):
             x = y = 0.0
             for tok in _TOK_RE.finditer(bt.group(1)):

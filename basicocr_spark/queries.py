@@ -623,15 +623,13 @@ def _minhash_sigs(d):
     return HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3)
 
 
-def docs_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH candidate pairs: 2-word shingles -> arithmetic poly
-    hash -> 16 permutations -> 4 bands of 4 -> band-bucket equi-join.
-    All signature math is higher-order-function projection (no explode
-    until the 4-band emit); the only shuffle is the band-bucket join."""
-    d = _t_wide(spark, sf_dir, "documents")
-    # materialize once: the band self-join would otherwise execute the
-    # signature kernel on BOTH sides (two full corpus scans)
-    sigs = _minhash_sigs(d).localCheckpoint()
+def _band_candidates(sigs, id_col: str, out_a: str, out_b: str):
+    """(id, mh0..mh{N-1}) -> distinct candidate id pairs (out_a < out_b)
+    sharing any band bucket. Band sig = poly fold of the band's
+    minhashes mod MOD (BAND_MULT multiplier) — a rare fold collision
+    only ADDs a candidate, which downstream verification filters.
+    Single source of truth for the band scheme; the DuckDB oracles
+    mirror it."""
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
@@ -639,21 +637,39 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
         for o in range(1, BAND_SIZE):
             band_sig = (band_sig * F.lit(BAND_MULT) + F.col(f"mh{lo + o}")) % F.lit(MOD)
         bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
-    a_side = banded.alias("a")
-    b_side = banded.alias("b")
+    return _bucket_pair_join(banded, id_col, out_a, out_b)
+
+
+def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str):
+    """Self-join of a (id, band, sig) table: distinct ordered id pairs
+    sharing any band bucket — the one shuffle of every LSH candidate
+    generator here (minhash bands and hyperplane bands alike)."""
     return (
-        a_side.join(
-            b_side,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
         .distinct()
     )
+
+
+def docs_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 3-word shingles -> arithmetic poly
+    hash -> 16 permutations (Arrow numpy kernel, one mapInPandas
+    projection) -> 4 bands of 4 -> band-bucket equi-join. The only
+    shuffle is the band-bucket join."""
+    d = _t_wide(spark, sf_dir, "documents")
+    # materialize once: the band self-join would otherwise execute the
+    # signature kernel on BOTH sides (two full corpus scans)
+    sigs = _minhash_sigs(d).localCheckpoint()
+    return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
 
 
 def _duck_shingle_expr(k: int) -> str:
@@ -719,27 +735,7 @@ def docs_near_dup_verified(spark, sf_dir):
     sigs = HK.minhash_and_shingles_df(
         d, num_hashes=N_MINHASH, k_sig=3, k_verify=2
     ).localCheckpoint()
-    bands = []
-    for bi in range(N_MINHASH // BAND_SIZE):
-        lo = bi * BAND_SIZE
-        band_sig = F.col(f"mh{lo}")
-        for o in range(1, BAND_SIZE):
-            band_sig = (band_sig * F.lit(BAND_MULT) + F.col(f"mh{lo + o}")) % F.lit(MOD)
-        bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
-    )
-    cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -946,17 +942,7 @@ def emb_near_dup_cosine(spark, sf_dir):
     banded = e.select(
         "vec_id", F.explode(bands).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
-    cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cands = _bucket_pair_join(banded, "vec_id", "vec_a", "vec_b")
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (

@@ -99,3 +99,10 @@ def test_frame_sampling_composes_with_image_pipeline(spark):
     assert len(feats) == 3 * 6
     for r in feats:
         assert len(r.features) == 11
+
+
+def test_frame_sampling_single_sample(spark):
+    videos = MM.build_video_table(spark, [f"v{i:06d}" for i in range(5)], corrupt_every=0)
+    out = MM.sample_frames(videos, n_samples=1).collect()
+    assert len(out) == 5
+    assert all(r.frame_idx == 0 for r in out)
