@@ -22,29 +22,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TAG_RE = "<[^>]*>"
-A_INNER_RE = r"<a\b[^>]*>(.*?)</a>"
+# (?s): the reference compiles this with re.S, so '.' must cross \r /
+# U+2028; (?U) on whitespace: Java's \s is ASCII-only by default while
+# Python's is Unicode-aware — without the flag the column pipeline and
+# the Python oracle/Arrow kernels disagree on NBSP/ideographic spaces
+A_INNER_RE = r"(?s)<a\b[^>]*>(.*?)</a>"
+WS_RE = r"(?U)\s+"
 NEG_CLASS_RE = r'class="(?:nav|footer|sidebar)"'
 
 
 def _tagless(block: Column) -> Column:
-    return F.trim(F.regexp_replace(F.regexp_replace(block, TAG_RE, ""), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.regexp_replace(block, TAG_RE, ""), WS_RE, " "))
 
 
 def _word_count(tagless: Column) -> Column:
-    return F.when(tagless == "", F.lit(0)).otherwise(F.size(F.split(tagless, r"\s+")))
+    return F.when(tagless == "", F.lit(0)).otherwise(F.size(F.split(tagless, WS_RE)))
 
 
 def _link_len(block: Column) -> Column:
     inners = F.regexp_extract_all(block, F.lit(A_INNER_RE), 1)
     return F.aggregate(
-        F.transform(inners, lambda s: F.length(_tagless_inner(s))),
+        F.transform(inners, lambda s: F.length(_tagless(s))),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-
-
-def _tagless_inner(s: Column) -> Column:
-    return F.trim(F.regexp_replace(F.regexp_replace(s, TAG_RE, ""), r"\s+", " "))
 
 
 def block_score(block: Column) -> Column:
@@ -61,8 +62,11 @@ def block_score(block: Column) -> Column:
 
 def stop_content_pattern(terms: list[str]) -> str:
     """Longest-first alternation — the canonicalized AC-automaton
-    replace-all (Test.java:60-81)."""
-    return "|".join(re.escape(t) for t in sorted(terms, key=lambda t: (-len(t), t)))
+    replace-all (Test.java:60-81). Delegates to the reference builder so
+    the Spark pattern can never drift from the oracle's."""
+    from .. import reference as R
+
+    return R.stop_term_pattern(terms)
 
 
 def strip_stop_content(col: Column, terms: list[str]) -> Column:
@@ -77,4 +81,4 @@ def extract_main_text(col: Column, stop_terms: list[str]) -> Column:
     blocks = F.split(col, "\n")
     kept = F.filter(blocks, lambda b: block_score(b) > 0)
     joined = F.array_join(F.filter(F.transform(kept, _tagless), lambda t: t != ""), " ")
-    return F.trim(F.regexp_replace(strip_stop_content(joined, stop_terms), r"\s+", " "))
+    return F.trim(F.regexp_replace(strip_stop_content(joined, stop_terms), WS_RE, " "))

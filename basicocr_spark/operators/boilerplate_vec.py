@@ -31,13 +31,7 @@ def _clean(series: pd.Series) -> pd.Series:
 
 
 def make_vectorized_extractor(stop_terms: list[str]):
-    stop_re = (
-        re.compile(
-            "|".join(re.escape(t) for t in sorted(stop_terms, key=lambda t: (-len(t), t)))
-        )
-        if stop_terms
-        else None
-    )
+    stop_re = re.compile(R.stop_term_pattern(stop_terms)) if stop_terms else None
 
     def extract(raw: pd.Series) -> pd.Series:
         """Series of raw span texts -> Series of extracted main text.

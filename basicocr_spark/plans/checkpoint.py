@@ -38,7 +38,9 @@ def _fs_ls(path: str) -> list[str]:
 
 
 def committed_snapshots(root: str) -> list[str]:
-    return _fs_ls(os.path.join(root, "_commits"))
+    # a crash between the tmp write and os.rename leaves "<sid>.tmp" in
+    # _commits — an UNcommitted attempt that must not read as a snapshot
+    return [s for s in _fs_ls(os.path.join(root, "_commits")) if not s.endswith(".tmp")]
 
 
 def partition_manifest(extracted: DataFrame) -> DataFrame:
@@ -87,16 +89,34 @@ class SnapshotWriter:
         return self.spark.read.parquet(*existing).select("doc_id").distinct()
 
     def pending(self, docs: DataFrame) -> DataFrame:
-        """Anti-join against committed doc_ids — the resume predicate."""
+        """Anti-join against committed doc_ids — the resume predicate.
+        No forced broadcast: the committed set grows with every snapshot
+        (a long-running stream would eventually blow the broadcast
+        limit), so let AQE pick broadcast-vs-shuffle per actual size; at
+        10^12 docs the manifest carries doc_id RANGES and this becomes a
+        range-pruning filter instead."""
         done = self.processed_doc_ids()
         if done is None:
             return docs
-        return docs.join(F.broadcast(done), "doc_id", "left_anti")
+        return docs.join(done, "doc_id", "left_anti")
 
     def commit(self, extracted: DataFrame, snapshot_id: str | None = None) -> dict:
         """Write data + docids + manifest for this snapshot, then drop the
-        commit marker LAST (atomic visibility point)."""
+        commit marker LAST (atomic visibility point). Committing an
+        already-committed sid is a NO-OP returning the existing stats —
+        exactly-once semantics for replayed micro-batch epochs; writing
+        over a visible snapshot's files would break immutability (the
+        marker would remain while the data dir is half-rewritten)."""
         sid = snapshot_id or f"s{len(committed_snapshots(self.root)):06d}"
+        if os.path.exists(os.path.join(self.root, "_commits", sid)):
+            existing = self.spark.read.parquet(
+                os.path.join(self.root, "manifest", f"snapshot={sid}")
+            )
+            stats = {
+                r["partition_id"]: (r["doc_count"], r["span_count"])
+                for r in existing.collect()
+            }
+            return {"snapshot_id": sid, "partitions": stats, "replayed": True}
         t0 = time.perf_counter()
         data_path = os.path.join(self.root, "data", f"snapshot={sid}")
         extracted.write.mode("overwrite").parquet(data_path)
@@ -117,9 +137,14 @@ class SnapshotWriter:
         with open(tmp, "w") as f:
             f.write(sid)
         os.rename(tmp, marker)  # atomic on POSIX
+        # stats from the tiny WRITTEN manifest — re-collecting the lazy
+        # `manifest` plan would rescan+reaggregate the whole data dir
+        written_manifest = self.spark.read.parquet(
+            os.path.join(self.root, "manifest", f"snapshot={sid}")
+        )
         stats = {
             r["partition_id"]: (r["doc_count"], r["span_count"])
-            for r in manifest.collect()
+            for r in written_manifest.collect()
         }
         return {"snapshot_id": sid, "partitions": stats}
 

@@ -196,7 +196,9 @@ def search_dictionary(target: str, max_cost: int, entries: list[DictEntry]):
     (unspecified); we pin the canonical candidate order to dictionary file
     order — the Spark pipeline orders by line_id identically.
     """
-    return [(e, levenshtein(target, e.word)) for e in entries if levenshtein(target, e.word) <= max_cost]
+    return [
+        (e, d) for e in entries if (d := levenshtein(target, e.word)) <= max_cost
+    ]
 
 
 def post_processing(target: str, candidates) -> str:
@@ -239,6 +241,14 @@ def correct_word(target: str, entries: list[DictEntry], max_cost: int = 3) -> st
 # Stop-content strip (Test.java:60-81 semantics)
 # ---------------------------------------------------------------------------
 
+def stop_term_pattern(terms: list[str]) -> str:
+    """Longest-first alternation over escaped stop terms — THE canonical
+    builder (sort key is part of the equality surface: it decides which
+    of two overlapping terms wins). The Spark column pipeline and the
+    vectorized kernels must build the identical pattern."""
+    return "|".join(re.escape(t) for t in sorted(terms, key=lambda t: (-len(t), t)))
+
+
 def strip_stop_content(text: str, terms: list[str]) -> str:
     """Remove every occurrence of every dictionary term — the AC-automaton
     scan + replace loop of Test.java:60-81. Canonicalized as a single
@@ -246,8 +256,7 @@ def strip_stop_content(text: str, terms: list[str]) -> str:
     deterministically; fixture terms are chosen non-pathological."""
     if not terms:
         return text
-    pat = "|".join(re.escape(t) for t in sorted(terms, key=lambda t: (-len(t), t)))
-    return re.sub(pat, "", text)
+    return re.sub(stop_term_pattern(terms), "", text)
 
 
 # ---------------------------------------------------------------------------
@@ -303,15 +312,7 @@ def make_main_text_extractor(stop_terms: list[str]):
     """Hot-path twin of extract_main_text with the stop-term alternation
     compiled once (the per-call pattern build dominates otherwise).
     Semantics identical; kernels call this, tests pin both agree."""
-    stop_re = (
-        re.compile(
-            "|".join(
-                re.escape(t) for t in sorted(stop_terms, key=lambda t: (-len(t), t))
-            )
-        )
-        if stop_terms
-        else None
-    )
+    stop_re = re.compile(stop_term_pattern(stop_terms)) if stop_terms else None
 
     def extract(raw: str) -> str:
         kept = [

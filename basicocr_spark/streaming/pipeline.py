@@ -60,6 +60,36 @@ def streaming_extraction(
     )
 
 
+def advance_session(state, events, gap_us: int):
+    """Pure per-user session fold (unit-testable outside the stream):
+    state = (last_us, start_us, n, v) or None; events = iterable of
+    (ts_us, value) sorted within this batch. Returns (new_state,
+    closed_sessions as [(start, end, n, v)]). A LATER batch can deliver
+    a late event, so continuing a session extends the window with
+    min/max — last_us must never regress (a regressed last_us both
+    emits session_end < session_start and spuriously splits the session
+    at the next on-time event)."""
+    if state is not None:
+        last_us, start_us, n, v = state
+    else:
+        last_us = start_us = None
+        n, v = 0, 0.0
+    closed = []
+    for ts_us, val in events:
+        ts_us = int(ts_us)
+        if last_us is not None and ts_us - last_us > gap_us:
+            closed.append((start_us, last_us, n, v))
+            start_us, last_us, n, v = None, None, 0, 0.0
+        if start_us is None:
+            start_us = last_us = ts_us
+        else:
+            start_us = min(start_us, ts_us)
+            last_us = max(last_us, ts_us)
+        n += 1
+        v += float(val)
+    return (last_us, start_us, n, v), closed
+
+
 def sessionize_stateful(
     events_stream: DataFrame,
     gap_seconds: int = 1800,
@@ -97,22 +127,12 @@ def sessionize_stateful(
         else:
             rows = pd.concat(list(pdfs))
             rows = rows.sort_values(["ts_us", "event_id"])
-            if state.exists:
-                last_us, start_us, n, v = state.get
-            else:
-                last_us = start_us = None
-                n, v = 0, 0.0
-            for ts_us, val in zip(rows["ts_us"], rows["value"]):
-                ts_us = int(ts_us)
-                if last_us is not None and ts_us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n, v))
-                    start_us, n, v = ts_us, 0, 0.0
-                if start_us is None:
-                    start_us = ts_us
-                last_us = ts_us
-                n += 1
-                v += float(val)
-            state.update((last_us, start_us, n, v))
+            st = state.get if state.exists else None
+            st, batch_closed = advance_session(
+                st, zip(rows["ts_us"], rows["value"]), gap_us
+            )
+            closed.extend((user_id, s, e, n, v) for s, e, n, v in batch_closed)
+            state.update(st)
             state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(

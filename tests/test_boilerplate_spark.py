@@ -44,3 +44,27 @@ def test_boilerplate_plan_is_pure_jvm(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unicode_whitespace_parity_with_reference(spark):
+    """Java's default \\s is ASCII-only; the (?U)/(?s) flags keep the
+    column pipeline equal to the Python oracle on NBSP/ideographic
+    spaces and on link anchors containing raw \\r (re.S semantics)."""
+    from basicocr_spark import reference as R
+    from basicocr_spark.fixtures import STOP_TERMS
+
+    cases = [
+        "<p>Hello world more article body text here today</p>",
+        "<p>ideographic\u3000space separated words in this block</p>",
+        '<div><a href="/x">link\rwith\rcarriage</a> plus body words here</div>',
+        "<p>line separator inside a long enough article block</p>",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, raw string")
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", extract_main_text(F.col("raw"), STOP_TERMS).alias("out")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == R.extract_main_text(c, STOP_TERMS), (i, c, got[i])

@@ -69,3 +69,40 @@ def test_manifest_lineage_totals(spark, fx, tmp_path):
         assert r.min_doc_id <= r.max_doc_id
         assert r.wall_time_sec > 0
     assert info["partitions"]
+
+
+def test_commit_is_idempotent_for_replayed_sid(spark, tmp_path, fx):
+    """Re-committing an epoch id (streaming replay after crash) must be
+    a no-op that returns the existing stats — never an overwrite of a
+    visible snapshot's files."""
+    from basicocr_spark.plans.checkpoint import SnapshotWriter
+
+    root = str(tmp_path / "snap_replay")
+    w = SnapshotWriter(spark, root)
+    first = w.commit(fx["golden"].limit(10), snapshot_id="epoch000000")
+    n_before = w.read_committed().count()
+    replay = w.commit(fx["golden"].limit(3), snapshot_id="epoch000000")
+    assert replay.get("replayed") is True
+    assert replay["snapshot_id"] == "epoch000000"
+    assert w.read_committed().count() == n_before  # data untouched
+    assert replay["partitions"] == first["partitions"]
+
+
+def test_stale_tmp_marker_is_not_a_committed_snapshot(spark, tmp_path, fx):
+    """A crash between the marker tmp-write and rename must not create a
+    phantom committed snapshot."""
+    import os
+
+    from basicocr_spark.plans.checkpoint import SnapshotWriter, committed_snapshots
+
+    root = str(tmp_path / "snap_tmp")
+    w = SnapshotWriter(spark, root)
+    w.commit(fx["golden"].limit(5), snapshot_id="s000000")
+    # simulate the crash artifact
+    with open(os.path.join(root, "_commits", "s000001.tmp"), "w") as f:
+        f.write("s000001")
+    assert committed_snapshots(root) == ["s000000"]
+    assert w.read_committed().count() == 5
+    # next auto-numbered commit reuses s000001 (the attempt never committed)
+    out = w.commit(fx["golden"].limit(2))
+    assert out["snapshot_id"] == "s000001"

@@ -80,3 +80,25 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert all(len(v) == 1 for v in by_user.values())
     # and the closed ones should be the overwhelming majority
     assert len(got_set) >= len(want) - batch.select("user_id").distinct().count()
+
+
+def test_advance_session_late_events_never_regress():
+    """A late event from a later micro-batch must extend the open
+    session's window, not regress last_us (which emitted
+    session_end < session_start and split sessions spuriously)."""
+    from basicocr_spark.streaming.pipeline import advance_session
+
+    gap_us = 1800 * 1_000_000
+    # batch 1: one event at t=3600s
+    st, closed = advance_session(None, [(3_600_000_000, 1.0)], gap_us)
+    assert closed == []
+    # batch 2: late event at t=60s (joins; window extends backward),
+    # then an event at t=2000s — within gap of the TRUE last (3600s)
+    st, closed = advance_session(st, [(60_000_000, 1.0), (2_000_000_000, 1.0)], gap_us)
+    assert closed == []  # no spurious split
+    last_us, start_us, n, v = st
+    assert start_us == 60_000_000 and last_us == 3_600_000_000 and n == 3
+    # a genuinely-distant event closes the session with end >= start
+    st, closed = advance_session(st, [(10_000_000_000, 1.0)], gap_us)
+    assert closed == [(60_000_000, 3_600_000_000, 3, 3.0)]
+    assert closed[0][1] >= closed[0][0]
