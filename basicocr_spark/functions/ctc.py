@@ -32,12 +32,21 @@ def argmax_indices(logits: Column) -> Column:
 
 
 def ctc_collapse(indices: Column) -> Column:
-    """Blank/repeat removal (utils.py:86-89). `F.get` is 0-based and
-    null-safe out of bounds, so position 0 compares against null and the
-    null-safe-equal negation keeps it."""
-    return F.filter(
-        indices,
-        lambda x, i: (x != F.lit(0)) & ~F.get(indices, i - F.lit(1)).eqNullSafe(x),
+    """Blank/repeat removal (utils.py:86-89): keep x_i iff x_i != 0 and
+    x_i != x_{i-1}. Implemented as a zip with the shifted-self ([-1] ++
+    indices[:-1], -1 never collides with a 0-based argmax) rather than a
+    per-element F.get(indices, i-1): higher-order lambdas evaluate
+    interpreted, so re-embedding `indices` in the lambda recomputes the
+    whole upstream array (the argmax over T x nclass logits in
+    ctc_greedy_decode) once PER ELEMENT — O(T^2 * nclass)."""
+    prev = F.concat(
+        F.array(F.lit(-1).cast("int")),
+        F.slice(indices, 1, F.greatest(F.size(indices) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(indices, prev, lambda x, p: F.struct(x.alias("x"), p.alias("p")))
+    return F.transform(
+        F.filter(pairs, lambda s: (s["x"] != F.lit(0)) & (s["x"] != s["p"])),
+        lambda s: s["x"],
     )
 
 

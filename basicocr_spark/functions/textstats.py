@@ -83,11 +83,9 @@ def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
 
 
 def _poly_hash_expr(s: Column) -> Column:
-    return F.aggregate(
-        F.split(s, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0))) % F.lit(MOD),
-    )
+    """Alias kept for call-site readability in lambda positions — the
+    hash definition lives in char_poly_hash (one source of truth)."""
+    return char_poly_hash(s)
 
 
 def punct_ratio(col: Column) -> Column:

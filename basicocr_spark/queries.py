@@ -440,8 +440,8 @@ def docs_token_stats(spark, sf_dir):
 
 DOCS_TOKEN_SQL = rf"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct_tokens,
        length(text) AS n_chars_actual,
        len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
 FROM documents
@@ -490,7 +490,7 @@ DOCS_QUALITY_SQL = r"""
 WITH b AS (
   SELECT doc_id, text,
          length(text) AS n,
-         len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
          length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
          length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
   FROM documents
@@ -543,7 +543,8 @@ def docs_word_freq(spark, sf_dir):
 
 DOCS_WORD_FREQ_SQL = r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
 ), counts AS (
   SELECT word, count(*) AS freq FROM toks
   WHERE word NOT IN ('the', 'a', 'of', 'and')
@@ -588,7 +589,7 @@ def docs_jaccard_pairs(spark, sf_dir):
 DOCS_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
 ), common AS (
@@ -893,13 +894,15 @@ def _duck_bucket_expr() -> str:
 
 
 def _duck_ann_sql() -> str:
+    # coalesce: x/0 is NULL in DuckDB but cosine(zero-vector) = 0.0 on
+    # the Spark side (vectors.cosine guards the zero norm)
     cos = (
-        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(p.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (a, b) -> a + b) "
         "/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) "
         "* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6)"
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6), 0.0)"
     )
     return f"""
 WITH bucketed AS (
@@ -975,12 +978,12 @@ def _duck_emb_near_dup_sql() -> str:
         for b in range(4)
     )
     cos = (
-        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (a, b) -> a + b) "
         "/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) "
         "* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6)"
+        "list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))), 6), 0.0)"
     )
     return f"""
 WITH banded AS (
@@ -1004,7 +1007,7 @@ WITH probes AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
 ), scored AS (
   SELECT p.q_id, e.vec_id,
-         round(
+         coalesce(round(
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(p.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
              (a, b) -> a + b)
@@ -1012,7 +1015,7 @@ WITH probes AS (
                 list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
             * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
-         , 6) AS cos
+         , 6), 0.0) AS cos
   FROM embeddings e CROSS JOIN probes p
   WHERE e.vec_id != p.q_id
 )
@@ -1265,7 +1268,7 @@ def docs_token_correction(spark, sf_dir):
     from .operators.correction import correct_tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(TS.tokens(F.col("text"))).alias("token")).distinct()
+    toks = d.select(F.explode(TS.tokens(F.col("text"))).alias("token"))  # correct_tokens distincts
     dict_df = spark.createDataFrame(CORRECTION_DICT, schema=S.DICTIONARY)
     return correct_tokens(toks, dict_df, max_cost=1)
 
@@ -1275,8 +1278,11 @@ def _duck_correction_sql() -> str:
     return rf"""
 WITH dict(line_id, word, freq) AS (VALUES {dict_rows}),
 toks AS (
-  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-  FROM documents
+  -- uniform() normalization (Q2B + lower) mirrors correct_tokens'
+  -- normalize=True; empty/space-only docs yield no tokens in Spark
+  SELECT DISTINCT lower(translate(unnest(regexp_split_to_array(trim(text), '\s+')),
+         '　！＂＃＄％＆＇（）＊＋，－．／０１２３４５６７８９：；＜＝＞？＠ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ［＼］＾＿｀ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ｛｜｝～', ' !"#$%&''()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\]^_`abcdefghijklmnopqrstuvwxyz{{|}}~')) AS token
+  FROM documents WHERE trim(text) <> ''
 ),
 cand AS (
   SELECT t.token, d.line_id, d.word, d.freq, levenshtein(t.token, d.word) AS dist
@@ -1456,12 +1462,12 @@ def emb_ivf_topk(spark, sf_dir):
 
 def _duck_ivf_sql() -> str:
     cos = lambda a, b: (
-        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (p, q) -> p + q) "
         f"/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) "
         f"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q))), 6)"
+        f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q))), 6), 0.0)"
     )
     return f"""
 WITH flat AS (
@@ -1513,7 +1519,7 @@ DOCS_FILTER_SQL = rf"""
 WITH b AS (
   SELECT text,
          length(text) AS n,
-         len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
          length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
          length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
   FROM documents
@@ -1628,7 +1634,7 @@ WITH b AS (
   SELECT CASE WHEN ((doc_id * 2654435761) % {MOD}) % 10 <= 7 THEN 'train'
               WHEN ((doc_id * 2654435761) % {MOD}) % 10 = 8 THEN 'val'
               ELSE 'test' END AS split,
-         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
   FROM documents
 )
 SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM b GROUP BY split

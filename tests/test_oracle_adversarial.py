@@ -1,0 +1,94 @@
+"""Query-vs-oracle parity on ADVERSARIAL tables the driver corpus never
+exercises: empty/space-only/tab-leading documents, uppercase and
+full-width tokens, zero-norm embedding vectors. These pin the latent
+cross-engine divergences found in review (DuckDB regexp_split('') ==
+[''] vs Spark tokens('') == []; x/0 NULL vs guarded 0.0; missing
+uniform() in the correction oracle)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+
+ADV_DOCS = [
+    (0, "plain words here", "en"),
+    (1, "", "en"),
+    (2, "   ", "en"),
+    (3, "\tTabbed Start then words", "en"),
+    (4, "UPPER Case Tokens And ｆｕｌｌｗｉｄｔｈ", "en"),
+    (5, "repeat repeat plain words here", "en"),
+]
+
+ADV_EMB = [
+    (0, [0.0] * 8, 0),  # zero-norm vector
+    (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 1),
+    (3, [0.5] * 8, 1),
+    (4, [0.1, 0.9, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0], 1),
+]
+
+DOC_QUERIES = [
+    "docs_token_stats",
+    "docs_word_freq",
+    "docs_quality_scores",
+    "docs_split_sample",
+    "docs_filter_summary",
+    "docs_simhash",
+    "docs_fingerprint",
+    "docs_token_correction",
+    "docs_jaccard_pairs",
+]
+EMB_QUERIES = ["emb_norms", "emb_cosine_topk", "emb_near_dup_cosine"]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adv_sf"))
+    spark.createDataFrame(ADV_DOCS, "doc_id long, text string, lang string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    spark.createDataFrame(
+        ADV_EMB, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        # Spark writes a directory of part files; the driver's views are
+        # single files, so glob here
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES + EMB_QUERIES)
+def test_adversarial_parity(spark, adv_dir, adv_duck, name):
+    sdf = E.queries()[name](spark, adv_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = adv_duck.sql(E.oracle_sql()[name])
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns), name
+    assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
+    ms, md = _multiset(sdf.columns, s_rows), _multiset(rel.columns, d_rows)
+    assert ms == md, (name, [(a, b) for a, b in zip(ms, md) if a != b][:3])
