@@ -205,11 +205,7 @@ def recognition_accuracy_fixture(spark, sf_dir):
 
 def recognition_accuracy_oracle_sql() -> str:
     rows = FX.gen_media_logits(N_MEDIA, SEED)
-    import basicocr_spark.reference as _R
-
-    n_correct = sum(
-        1 for _, lg, gold in rows if _R.ctc_greedy_decode(lg) == gold
-    )
+    n_correct = sum(1 for _, lg, gold in rows if R.ctc_greedy_decode(lg) == gold)
     n = len(rows)
     return _values_sql(
         [(n_correct, n, round(n_correct / n, 6))], ["n_correct", "n_total", "accuracy"]
@@ -222,7 +218,13 @@ def recognition_accuracy_oracle_sql() -> str:
 # blocks are the INPUTS the bytes were built from, not parser output)
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _pdf_fixture():
+    """Deterministic, so memoized — the triad fixture + oracles would
+    otherwise rebuild and re-compress all 16 PDFs O(6) times per pass."""
     from .operators.pdfparse import gen_pdf_fixture
 
     return gen_pdf_fixture(16, SEED)

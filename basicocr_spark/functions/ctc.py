@@ -102,11 +102,15 @@ def make_ctc_decode_udf(alphabet: str = DEFAULT_ALPHABET):
 
 
 def decode_ctc_numpy(mat, alphabet: str = DEFAULT_ALPHABET) -> str:
-    """Batch-kernel used by the fused pipeline: 2-D ndarray -> string."""
+    """Batch-kernel used by the fused pipeline: 2-D ndarray -> string.
+    Empty logits decode to '' (guard BEFORE argmax: np.asarray([])
+    raises AxisError on axis=1, and the SQL/pandas-UDF twins both emit
+    '' for the empty case)."""
     import numpy as np
 
-    t = np.asarray(mat).argmax(axis=1)
-    if t.size == 0:
+    arr = np.asarray(mat)
+    if arr.size == 0:
         return ""
+    t = arr.argmax(axis=1)
     keep = (t != 0) & np.concatenate(([True], t[1:] != t[:-1]))
     return "".join(alphabet[i - 1] for i in t[keep])

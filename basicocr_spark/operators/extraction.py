@@ -70,6 +70,58 @@ def _job_cache(token: str, builder):
     return cache
 
 
+def _broadcast_sides(df: DataFrame, logits_rows, dict_lines, stop_terms):
+    """Broadcast the dictionary-sized sides once + mint the per-job
+    worker-cache token. Shared by all three fused kernels."""
+    import uuid
+
+    sc = df.sparkSession.sparkContext
+    return (
+        sc.broadcast({ref: lg for ref, lg, *_ in logits_rows}),
+        sc.broadcast(dict_lines),
+        sc.broadcast(list(stop_terms)),
+        uuid.uuid4().hex,
+    )
+
+
+def _worker_recognizer(b_logits, b_dict, b_stop, job_token, alphabet, max_cost):
+    """Executor-side: (vectorized text extractor, memoized recognize).
+    One definition for all three fused kernels — the decode+correct
+    memo semantics are part of the cross-implementation equality
+    surface, so they must not drift between kernels."""
+    from .boilerplate_vec import make_vectorized_extractor
+
+    logits_by_ref = b_logits.value
+    cache = _job_cache(
+        job_token,
+        lambda: {
+            "entries": R.load_dictionary(b_dict.value),
+            "extract": make_vectorized_extractor(b_stop.value),
+            "corr": {},
+            "media": {},
+        },
+    )
+    entries = cache["entries"]
+    corr_memo: dict[str, str] = cache["corr"]
+    media_memo: dict[str, str] = cache["media"]
+
+    def recognize(ref: str) -> str:
+        txt = media_memo.get(ref)
+        if txt is None:
+            lg = logits_by_ref.get(ref)
+            raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
+            if raw:
+                txt = corr_memo.get(raw)
+                if txt is None:
+                    txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
+            else:
+                txt = ""
+            media_memo[ref] = txt
+        return txt
+
+    return cache["extract"], recognize
+
+
 def recognize_media(
     media_spans: DataFrame, logits_df: DataFrame, alphabet: str = R.DEFAULT_ALPHABET
 ) -> DataFrame:
@@ -257,47 +309,10 @@ def extract_documents_fused(
     production the recognition model rides the same way); per-batch
     memoization makes correction cost proportional to the batch's
     distinct vocabulary."""
-    import uuid
-
-    sc = docs.sparkSession.sparkContext
-    b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
-    b_dict = sc.broadcast(dict_lines)
-    b_stop = sc.broadcast(list(stop_terms))
-    job_token = uuid.uuid4().hex
+    sides = _broadcast_sides(docs, logits_rows, dict_lines, stop_terms)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .boilerplate_vec import make_vectorized_extractor
-
-        logits_by_ref = b_logits.value
-        cache = _job_cache(
-            job_token,
-            lambda: {
-                "entries": R.load_dictionary(b_dict.value),
-                "extract": make_vectorized_extractor(b_stop.value),
-                "corr": {},
-                "media": {},
-            },
-        )
-        entries = cache["entries"]
-        extract_text_vec = cache["extract"]
-        corr_memo: dict[str, str] = cache["corr"]
-        media_memo: dict[str, str] = cache["media"]
-
-        def recognize(ref: str) -> str:
-            # media_refs repeat across docs (shared assets); decode+correct
-            # once per ref per partition
-            txt = media_memo.get(ref)
-            if txt is None:
-                lg = logits_by_ref.get(ref)
-                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
-                if raw:
-                    txt = corr_memo.get(raw)
-                    if txt is None:
-                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
-                else:
-                    txt = ""
-                media_memo[ref] = txt
-            return txt
+        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
 
         for pdf in batches:
             # flatten the batch's spans; the text side runs through the
@@ -365,52 +380,17 @@ def extract_documents_fused_arrow(
     the output list<struct> is rebuilt from offsets. Same zero-shuffle
     single-pass shape; this exists because the nested-struct dict
     marshalling is the pandas kernel's dominant cost at scale."""
-    import uuid
-
     import numpy as np
     import pyarrow as pa
 
-    sc = docs.sparkSession.sparkContext
-    b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
-    b_dict = sc.broadcast(dict_lines)
-    b_stop = sc.broadcast(list(stop_terms))
-    job_token = uuid.uuid4().hex
+    sides = _broadcast_sides(docs, logits_rows, dict_lines, stop_terms)
 
     out_type = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from .boilerplate_vec import make_vectorized_extractor
-
-        logits_by_ref = b_logits.value
-        cache = _job_cache(
-            job_token,
-            lambda: {
-                "entries": R.load_dictionary(b_dict.value),
-                "extract": make_vectorized_extractor(b_stop.value),
-                "corr": {},
-                "media": {},
-            },
-        )
-        entries = cache["entries"]
-        extract_text_vec = cache["extract"]
-        corr_memo: dict[str, str] = cache["corr"]
-        media_memo: dict[str, str] = cache["media"]
-
-        def recognize(ref: str) -> str:
-            txt = media_memo.get(ref)
-            if txt is None:
-                lg = logits_by_ref.get(ref)
-                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
-                if raw:
-                    txt = corr_memo.get(raw)
-                    if txt is None:
-                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
-                else:
-                    txt = ""
-                media_memo[ref] = txt
-            return txt
+        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
 
         for rb in batches:
             doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
@@ -507,50 +487,15 @@ def extract_spans_flat(
     the Python boundary, which is the nested variant's main marshalling
     cost. Requires the input contract (offsets unique per doc).
     """
-    import uuid
-
-    sc = spans_flat.sparkSession.sparkContext
-    b_logits = sc.broadcast({ref: lg for ref, lg, *_ in logits_rows})
-    b_dict = sc.broadcast(dict_lines)
-    b_stop = sc.broadcast(list(stop_terms))
-    n = n_partitions or sc.defaultParallelism * 2
-    job_token = uuid.uuid4().hex
+    sides = _broadcast_sides(spans_flat, logits_rows, dict_lines, stop_terms)
+    n = n_partitions or spans_flat.sparkSession.sparkContext.defaultParallelism * 2
 
     arranged = spans_flat.repartitionByRange(n, "doc_id").sortWithinPartitions(
         "doc_id", "offset"
     )
 
     def kernel(batches):
-        from .boilerplate_vec import make_vectorized_extractor
-
-        logits_by_ref = b_logits.value
-        cache = _job_cache(
-            job_token,
-            lambda: {
-                "entries": R.load_dictionary(b_dict.value),
-                "extract": make_vectorized_extractor(b_stop.value),
-                "corr": {},
-                "media": {},
-            },
-        )
-        entries = cache["entries"]
-        extract_text_vec = cache["extract"]
-        corr_memo: dict[str, str] = cache["corr"]
-        media_memo: dict[str, str] = cache["media"]
-
-        def recognize(ref):
-            txt = media_memo.get(ref)
-            if txt is None:
-                lg = logits_by_ref.get(ref)
-                raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
-                if raw:
-                    txt = corr_memo.get(raw)
-                    if txt is None:
-                        txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
-                else:
-                    txt = ""
-                media_memo[ref] = txt
-            return txt
+        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
 
         prev_doc = None  # doc spanning the batch boundary within a partition
         prev_count = 0

@@ -91,7 +91,10 @@ def build_pdf_bytes(pages: list[list[tuple[float, float, str]]]) -> bytes:
 # parser
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_ENDSTREAM_RE = re.compile(rb"endstream")
+_ENDOBJ_RE = re.compile(rb"endobj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.S)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 # text-block grammar: positioning + showing operators inside BT..ET
@@ -159,15 +162,43 @@ def _stream_payload(body: bytes) -> bytes | None:
     return sm.group(1) if sm else None
 
 
+def _scan_objects(buf: bytes) -> dict[int, bytes]:
+    """Sequential object scan that honors a literal /Length while
+    skipping stream bytes: compressed data is arbitrary binary and can
+    contain 'endobj'/'endstream' byte runs — a plain non-greedy
+    (.*?)endobj regex truncates such objects mid-stream and lets
+    spurious 'N 0 obj' matches inside the binary clobber real entries."""
+    objects: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        hm = _OBJ_HEAD_RE.search(buf, pos)
+        if hm is None:
+            break
+        body_start = hm.end()
+        em = _ENDOBJ_RE.search(buf, body_start)
+        sm = _STREAM_START_RE.search(buf, body_start)
+        if sm is not None and (em is None or sm.start() < em.start()):
+            lm = _LENGTH_RE.search(buf, body_start, sm.start())
+            skip_from = sm.end() + int(lm.group(1)) if lm else sm.end()
+            es = _ENDSTREAM_RE.search(buf, min(skip_from, len(buf)))
+            if es is not None:
+                em = _ENDOBJ_RE.search(buf, es.end())
+        num = int(hm.group(1))
+        if em is None:
+            objects.setdefault(num, buf[body_start:])
+            break
+        objects.setdefault(num, buf[body_start : em.start()])
+        pos = em.end()
+    return objects
+
+
 def extract_pdf_text_blocks(buf: bytes | None) -> list[dict]:
     """-> [{page, x, y, text}] in stream order, or [] for anything that
     doesn't parse (crawl-corpus skip semantics, dataset.py:51-55)."""
     if buf is None or not bytes(buf).startswith(b"%PDF"):
         return []
     buf = bytes(buf)
-    objects: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(buf):
-        objects[int(m.group(1))] = m.group(2)
+    objects = _scan_objects(buf)
 
     # page objects in document order -> their content stream objects
     pages = []
@@ -273,7 +304,9 @@ def gen_pdf_fixture(n: int = 16, seed: int = 42) -> list[tuple[str, list, bytes]
     for i in range(n):
         ref = f"pdf{i:06d}"
         if i % 6 == 5:
-            payload = b"%PDF-1.4\n(garbage" if i % 2 else b"\x00notapdf"
+            # alternate corrupt variants BY CORRUPT SLOT: i%6==5 forces i
+            # odd, so keying on i%2 made the non-PDF-header variant dead
+            payload = b"%PDF-1.4\n(garbage" if (i // 6) % 2 else b"\x00notapdf"
             out.append((ref, [], payload))
             continue
         rng = random.Random(seed * 1000 + i)

@@ -20,6 +20,24 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_SPANS = 64
 
+# Separator for composite doc_id#salt keys when a salted frame must pass
+# through an API keyed only by doc_id (the extraction kernels). A C0
+# control char cannot appear in real doc ids — but NEVER inline it as a
+# bare literal: it renders invisibly and reads as an empty string (a
+# review mistook exactly that for an empty-separator bug).
+SALT_SEP = "\x01"
+
+
+def salt_key(doc_id_col, salt_col):
+    """doc_id + salt -> one composite string key."""
+    return F.concat_ws(SALT_SEP, doc_id_col, salt_col)
+
+
+def split_salt_key(key_col):
+    """Composite key -> (doc_id string, salt int) columns."""
+    parts = F.split(key_col, SALT_SEP)
+    return parts[0], parts[1].cast("int")
+
 
 def salt_heavy_docs(docs: DataFrame, max_spans: int = DEFAULT_MAX_SPANS) -> DataFrame:
     """(doc_id, spans) -> (doc_id, salt, spans) with every row bounded by

@@ -139,8 +139,13 @@ def _run_level(n: int) -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=1800,
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling worker local[{n}] failed (rc={proc.returncode}):\n"
+            f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -27,7 +27,12 @@ from pyspark.sql import SparkSession, functions as F
 from basicocr_spark import fixtures as FX
 from basicocr_spark import schemas as S
 from basicocr_spark.operators.extraction import extract_documents_fused_arrow
-from basicocr_spark.operators.salting import merge_salted_extraction, salt_heavy_docs
+from basicocr_spark.operators.salting import (
+    merge_salted_extraction,
+    salt_heavy_docs,
+    salt_key,
+    split_salt_key,
+)
 from basicocr_spark.plans.checkpoint import SnapshotWriter
 
 
@@ -55,15 +60,12 @@ def run(
         batch = pending.limit(batch_size)
         salted = salt_heavy_docs(batch, max_spans=max_spans)
         keyed = salted.select(
-            F.concat_ws("", "doc_id", "salt").alias("doc_id"), "spans"
+            salt_key(F.col("doc_id"), F.col("salt")).alias("doc_id"), "spans"
         )
         extracted = extract_documents_fused_arrow(keyed, logits_rows, dict_lines, FX.STOP_TERMS)
+        did, salt = split_salt_key(F.col("doc_id"))
         merged = merge_salted_extraction(
-            extracted.select(
-                F.split("doc_id", "")[0].alias("doc_id"),
-                F.split("doc_id", "")[1].cast("int").alias("salt"),
-                "spans",
-            )
+            extracted.select(did.alias("doc_id"), salt.alias("salt"), "spans")
         )
         info = writer.commit(merged)
         n_docs = sum(d for d, _ in info["partitions"].values())

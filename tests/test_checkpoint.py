@@ -106,3 +106,27 @@ def test_stale_tmp_marker_is_not_a_committed_snapshot(spark, tmp_path, fx):
     # next auto-numbered commit reuses s000001 (the attempt never committed)
     out = w.commit(fx["golden"].limit(2))
     assert out["snapshot_id"] == "s000001"
+
+
+def test_cli_run_preserves_multichar_doc_ids(spark, tmp_path):
+    """End-to-end CLI run(): composite doc_id#salt keys must round-trip
+    multi-character doc ids exactly (the SALT_SEP constant exists
+    because an invisible inline separator was once mistaken for an
+    empty string — an empty separator silently truncates every id to
+    its first character)."""
+    import run_extraction as RX
+    from basicocr_spark import schemas as S
+    from basicocr_spark.plans.checkpoint import SnapshotWriter
+
+    ids = [str(100 + i) for i in range(8)]
+    docs = spark.createDataFrame(
+        [(d, [("text", f"<p>hello world number {d} content</p>", None, 1)]) for d in ids],
+        schema=S.DOCUMENTS,
+    )
+    inp = str(tmp_path / "cli_in")
+    out = str(tmp_path / "cli_out")
+    docs.write.mode("overwrite").parquet(inp)
+    stats = RX.run(spark, inp, out, batch_size=5)
+    assert stats["docs"] == 8
+    got = {r.doc_id for r in SnapshotWriter(spark, out).read_committed().collect()}
+    assert got == set(ids)
