@@ -50,6 +50,29 @@ def _tokens(text: str | None) -> list[str]:
     return _WS.split(t)
 
 
+_CJK_RUN = re.compile(r"([一-龥]+)")
+_CJK_FULL = re.compile(r"^[一-龥]{2,}$")
+
+
+def _cjk_tokens(text: str | None) -> list[str]:
+    """Mirror of textstats.cjk_tokens: space out maximal CJK runs, then
+    whitespace-tokenize (same trim/split semantics as _tokens) and emit
+    each multi-char CJK run as overlapping character bigrams."""
+    if text is None:
+        return []
+    spaced = _CJK_RUN.sub(r" \1 ", text)
+    out: list[str] = []
+    for t in _tokens(spaced):
+        if _CJK_FULL.match(t):
+            out.extend(t[i : i + 2] for i in range(len(t) - 1))
+        else:
+            out.append(t)
+    return out
+
+
+TOKENIZERS = {"ws": _tokens, "cjk": _cjk_tokens}
+
+
 def _shingles(toks: list[str], k: int) -> list[str]:
     """Mirror of textstats.word_shingles: n <= k -> one whole-text
     shingle; else the n-k+1 k-grams, space-joined."""
@@ -168,15 +191,18 @@ def shingle_hash_sets_batch(
 
 def minhash_signatures_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 8, k: int = 2,
+    num_hashes: int = 8, k: int = 2, tokenizer: str = "ws",
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) via one Arrow pass; pure projection, no shuffle."""
+    """(id, mh0..mh{n-1}) via one Arrow pass; pure projection, no shuffle.
+    tokenizer: 'ws' (whitespace) or 'cjk' (whitespace + CJK bigrams)."""
+    tok_fn = TOKENIZERS[tokenizer]
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, " + ", ".join(f"mh{j} long" for j in range(num_hashes))
 
     def gen(batches):
         for pdf in batches:
-            sig = minhash_batch(pdf[text_col].tolist(), num_hashes, k)
+            texts = pdf[text_col].tolist()
+            sig = minhash_batch(texts, num_hashes, k, toks=[tok_fn(t) for t in texts])
             out = {id_col: pdf[id_col]}
             for j in range(num_hashes):
                 out[f"mh{j}"] = sig[:, j]

@@ -36,6 +36,38 @@ def tokens(col: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+# CJK Unified Ideographs (BMP URO, U+4E00-U+9FA5) — the character range
+# the reference's HanLP/jieba segmentation targets (Test.java:28-37,
+# contrib/trietree/wordFrequency/readData.py:6,23-28).
+CJK_RUN_RE = r"([一-龥]+)"
+CJK_TOKEN_RE = r"^[一-龥]{2,}$"
+
+
+def cjk_tokens(col: Column) -> Column:
+    """P10 CJK-aware segmentation: whitespace tokens, with each maximal
+    CJK run emitted as overlapping character bigrams (a length-1 run is
+    its single char). Bigram indexing is the classic dictionary-free
+    IR stand-in for CJK word segmentation (the reference uses jieba/
+    HanLP, readData.py:6; a dictionary segmenter is not engine-pairable,
+    so the deterministic bigram form is what both the Spark pipeline and
+    the DuckDB oracle run). Whitespace-only text degenerates to tokens();
+    pure-CJK text (no spaces at all — the reference's actual domain)
+    segments into len-1 bigrams."""
+    spaced = F.regexp_replace(col, CJK_RUN_RE, r" $1 ")
+    return F.flatten(
+        F.transform(
+            tokens(spaced),
+            lambda t: F.when(
+                t.rlike(CJK_TOKEN_RE),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -52,10 +84,11 @@ def char_poly_hash(col: Column, mod: int = MOD) -> Column:
     )
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined) from whitespace tokens;
-    docs shorter than k words yield a single shingle of the whole text."""
-    toks = tokens(col)
+def word_shingles(col: Column, k: int = 3, tokenizer=None) -> Column:
+    """Array of k-word shingles (space-joined) from whitespace tokens
+    (or any alternative tokenizer, e.g. cjk_tokens); docs shorter than
+    k tokens yield a single shingle of all tokens joined."""
+    toks = (tokenizer or tokens)(col)
     n = F.size(toks)
     return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
@@ -65,11 +98,11 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3, tokenizer=None) -> Column:
     """MinHash signature as array<long>: h_j = min over shingles of
     (a_j*h + b_j) mod P, with fixed odd a_j/b_j and the char-poly base
     hash. Deterministic and reproducible in ANSI SQL."""
-    sh_hashes = F.transform(word_shingles(col, k), lambda s: _poly_hash_expr(s))
+    sh_hashes = F.transform(word_shingles(col, k, tokenizer), lambda s: _poly_hash_expr(s))
     sig = []
     for j in range(num_hashes):
         a = 2 * j + 1

@@ -555,6 +555,104 @@ FROM counts QUALIFY rk <= 50
 """
 
 
+# ---------------------------------------------------------------------------
+# CJK-aware corpus operators (P10; reference: HanLP segmentation in
+# contrib/acautomata Test.java:28-37, jieba in contrib/trietree/
+# wordFrequency/readData.py:6,23-28)
+# ---------------------------------------------------------------------------
+
+# Deterministic phrase->hanzi lifting of the synthetic corpus into mixed
+# CJK/latin text (the driver tables carry no Chinese; external data is
+# off-limits). Literal left-to-right global replace has identical
+# semantics in Spark, DuckDB, and Python, so both engines derive the
+# exact same corpus. Replacements produce multi-char CJK runs so the
+# bigram segmenter has real work.
+CJK_REPLACEMENTS = [
+    ("big table", "大数据表"),
+    ("fast row", "快速行"),
+    ("slow query", "慢查询"),
+    ("hash join", "哈希连接"),
+    ("data stream", "数据流水"),
+    ("sort merge", "排序归并"),
+]
+
+
+def _cjk_text_col():
+    c = F.col("text")
+    for pat, rep in CJK_REPLACEMENTS:
+        c = F.replace(c, F.lit(pat), F.lit(rep))
+    return c
+
+
+def _duck_cjk_text_expr() -> str:
+    e = "text"
+    for pat, rep in CJK_REPLACEMENTS:
+        e = f"replace({e}, '{pat}', '{rep}')"
+    return e
+
+
+def _duck_cjk_tokens_expr(text_expr: str = "text") -> str:
+    """DuckDB twin of textstats.cjk_tokens over {text_expr}: space out
+    maximal CJK runs, whitespace-split (trim+empty guard mirrors
+    textstats.tokens), then expand multi-char CJK tokens into
+    overlapping character bigrams."""
+    spaced = f"regexp_replace({text_expr}, '([一-龥]+)', ' \\1 ', 'g')"
+    base = (
+        f"CASE WHEN trim({spaced}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({spaced}), '\\s+') END"
+    )
+    return (
+        f"flatten(list_transform({base}, tok -> "
+        f"CASE WHEN regexp_matches(tok, '^[一-龥]{{2,}}$') "
+        f"THEN list_transform(generate_series(1, length(tok) - 1), i -> substr(tok, i, 2)) "
+        f"ELSE [tok] END))"
+    )
+
+
+def docs_word_freq_cjk(spark, sf_dir):
+    """P10 CJK-aware word frequency: derive the mixed CJK/latin corpus,
+    segment with cjk_tokens (whitespace tokens + CJK character bigrams —
+    the deterministic, dictionary-free stand-in for the reference's
+    jieba/HanLP segmentation), count, deterministic top-80. Without CJK
+    awareness a Chinese document is one giant whitespace token and
+    word-frequency quality collapses on the reference's own domain."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.cjk_tokens(_cjk_text_col())).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 80)
+        .select("word", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_word_freq_cjk_sql() -> str:
+    arr = _duck_cjk_tokens_expr(f"({_duck_cjk_text_expr()})")
+    return f"""
+WITH toks AS (
+  SELECT unnest({arr}) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS freq FROM toks GROUP BY word
+)
+SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+FROM counts QUALIFY rk <= 80
+"""
+
+
+def docs_minhash_lsh_pairs_cjk(spark, sf_dir):
+    """docs_minhash_lsh_pairs with CJK-aware shingling over the derived
+    mixed CJK/latin corpus: bigram-segmented tokens feed the k=3 shingle
+    minhash, so Chinese near-duplicates are visible to LSH instead of
+    whole sentences collapsing into single whitespace tokens. Same band
+    scheme, same single band-bucket shuffle."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", _cjk_text_col().alias("text"))
+    sigs = HK.minhash_signatures_df(
+        d, num_hashes=N_MINHASH, k=3, tokenizer="cjk"
+    ).localCheckpoint()
+    return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
+
+
 def docs_jaccard_pairs(spark, sf_dir):
     """Exact n-gram (word-set) Jaccard near-dup pairs via inverted index:
     explode distinct tokens, self-equi-join on token, |A∩B| / |A∪B|.
@@ -673,10 +771,13 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
 
 
-def _duck_shingle_expr(k: int) -> str:
-    """DuckDB twin of textstats.word_shingles(text, k) (note: DuckDB
-    list slice [i:j] is inclusive of j, so a k-gram at i is [i:i+k-1])."""
-    arr = r"regexp_split_to_array(trim(text), '\s+')"
+def _duck_shingle_expr(k: int, arr: str | None = None) -> str:
+    """DuckDB twin of textstats.word_shingles(text, k) over the token
+    array `arr` (default: whitespace tokens; pass _duck_cjk_tokens_expr()
+    for the CJK tokenizer). Note: DuckDB list slice [i:j] is inclusive
+    of j, so a k-gram at i is [i:i+k-1]."""
+    if arr is None:
+        arr = r"regexp_split_to_array(trim(text), '\s+')"
     return (
         f"CASE WHEN len({arr}) <= {k} "
         f"THEN [array_to_string({arr}, ' ')] "
@@ -685,8 +786,8 @@ def _duck_shingle_expr(k: int) -> str:
     )
 
 
-def _duck_minhash_sql() -> str:
-    shingle = _duck_shingle_expr(3)
+def _duck_minhash_sql(arr: str | None = None, source: str = "documents") -> str:
+    shingle = _duck_shingle_expr(3, arr)
     ph = (
         f"list_transform({shingle}, s -> "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -707,7 +808,7 @@ def _duck_minhash_sql() -> str:
         bands.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs")
     return f"""
 WITH hashes AS (
-  SELECT doc_id, {ph} AS hs FROM documents
+  SELECT doc_id, {ph} AS hs FROM {source}
 ), sigs AS (
   SELECT doc_id, {", ".join(mh)} FROM hashes
 ), banded AS (
@@ -717,6 +818,15 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
+
+
+def _duck_minhash_cjk_sql() -> str:
+    """CJK-tokenized twin of _duck_minhash_sql over the derived mixed
+    CJK/latin corpus."""
+    return _duck_minhash_sql(
+        arr=_duck_cjk_tokens_expr("text"),
+        source=f"(SELECT doc_id, {_duck_cjk_text_expr()} AS text FROM documents)",
+    )
 
 
 def docs_near_dup_verified(spark, sf_dir):

@@ -38,16 +38,30 @@ EDGE_TEXTS = [
 ]
 
 
+CJK_EDGE_TEXTS = EDGE_TEXTS + [
+    (100, "中文文本处理管道没有空格"),  # pure CJK, no whitespace at all
+    (101, "单"),  # single hanzi
+    (102, "单 字 间 隔"),  # spaced single hanzi (length-1 runs stay unigrams)
+    (103, "abc中文def"),  # CJK run embedded in a latin token
+    (104, "大数据表 大数据表 大数据表"),  # repeated CJK runs
+    (105, "mixed 中文处理 with 英文 words"),
+]
+
+
 def _edge_df(spark):
     return spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string")
+
+
+def _cjk_edge_df(spark):
+    return spark.createDataFrame(CJK_EDGE_TEXTS, "doc_id long, text string")
 
 
 def _docs_df(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
 
 
-def _expr_minhash(df, num_hashes=8, k=2):
-    sh = TS.word_shingles(F.col("text"), k=k)
+def _expr_minhash(df, num_hashes=8, k=2, tokenizer=None):
+    sh = TS.word_shingles(F.col("text"), k=k, tokenizer=tokenizer)
     sh_hashes = F.transform(sh, lambda s: TS._poly_hash_expr(s))
     cols = []
     for j in range(num_hashes):
@@ -109,6 +123,44 @@ def test_minhash_kernel_matches_expressions(spark):
         got = _as_map(HK.minhash_signatures_df(df))
         want = _as_map(_expr_minhash(df))
         assert got == want
+
+
+def test_cjk_tokens_kernel_matches_expression(spark):
+    """The Python _cjk_tokens mirror (what the Arrow minhash kernel
+    tokenizes with) must equal the Catalyst cjk_tokens column form on
+    every CJK edge text."""
+    df = _cjk_edge_df(spark)
+    want = {
+        r[0]: list(r[1])
+        for r in df.select("doc_id", TS.cjk_tokens(F.col("text")).alias("t")).collect()
+    }
+    got = {i: HK._cjk_tokens(t) for i, t in CJK_EDGE_TEXTS}
+    assert got == want
+
+
+def test_cjk_minhash_kernel_matches_expressions(spark):
+    for df in (_cjk_edge_df(spark), _docs_df(spark)):
+        got = _as_map(HK.minhash_signatures_df(df, num_hashes=8, k=3, tokenizer="cjk"))
+        want = _as_map(_expr_minhash(df, num_hashes=8, k=3, tokenizer=TS.cjk_tokens))
+        assert got == want
+
+
+def test_cjk_tokens_semantics(spark):
+    """Pin the segmentation contract: latin tokens pass through, multi-
+    char CJK runs become overlapping bigrams, single-hanzi runs stay
+    unigrams, embedded runs split out of latin tokens."""
+    df = spark.createDataFrame(
+        [(0, "大数据表"), (1, "单"), (2, "abc中文def"), (3, "hello 世界和平 world")],
+        "doc_id long, text string",
+    )
+    out = {
+        r[0]: list(r[1])
+        for r in df.select("doc_id", TS.cjk_tokens(F.col("text")).alias("t")).collect()
+    }
+    assert out[0] == ["大数", "数据", "据表"]
+    assert out[1] == ["单"]
+    assert out[2] == ["abc", "中文", "def"]
+    assert out[3] == ["hello", "世界", "界和", "和平", "world"]
 
 
 def test_simhash_kernel_matches_expressions(spark):
