@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_word_freq": Q.docs_word_freq,
         "docs_word_freq_cjk": Q.docs_word_freq_cjk,
         "docs_minhash_lsh_pairs_cjk": Q.docs_minhash_lsh_pairs_cjk,
+        "docs_ngram_counts": Q.docs_ngram_counts,
         "docs_jaccard_pairs": Q.docs_jaccard_pairs,
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
         "docs_near_dup_verified": Q.docs_near_dup_verified,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_word_freq": Q.DOCS_WORD_FREQ_SQL,
         "docs_word_freq_cjk": Q._duck_word_freq_cjk_sql(),
         "docs_minhash_lsh_pairs_cjk": Q._duck_minhash_cjk_sql(),
+        "docs_ngram_counts": Q._duck_ngram_counts_sql(),
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,
         "docs_minhash_lsh_pairs": Q._duck_minhash_sql(),
         "docs_near_dup_verified": Q._duck_near_dup_sql(),

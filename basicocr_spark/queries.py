@@ -653,32 +653,121 @@ def docs_minhash_lsh_pairs_cjk(spark, sf_dir):
     return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
 
 
+def docs_ngram_counts(spark, sf_dir):
+    """A9 word n-gram counting (reference: docs/yangzhanku/n-gram/
+    language-model.md:166-193 make-batch-counts -> merge-batch-counts):
+    per-doc n-gram emission is the map batch, groupBy+count the merge —
+    Spark's partial (map-side combine) + final hash aggregate is exactly
+    the batch/merge split the reference describes. 2-grams and 3-grams
+    in one pass; docs shorter than n tokens contribute nothing at that
+    n; deterministic top-40 per n."""
+    d = _t(spark, sf_dir, "documents")
+    legs = []
+    for n in (2, 3):
+        toks = TS.tokens(F.col("text"))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        legs.append(d.select(F.lit(n).alias("n"), F.explode(grams).alias("ngram")))
+    counts = (
+        legs[0].unionByName(legs[1]).groupBy("n", "ngram").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("n").orderBy(F.col("freq").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("n", "ngram", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_ngram_counts_sql() -> str:
+    legs = []
+    for n in (2, 3):
+        legs.append(
+            f"SELECT {n} AS n, unnest(CASE WHEN len(arr) >= {n} "
+            f"THEN list_transform(generate_series(1, len(arr) - {n - 1}), "
+            f"i -> array_to_string(arr[i:i+{n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM toks"
+        )
+    return rf"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), grams AS (
+  {" UNION ALL ".join(legs)}
+), counts AS (
+  SELECT n, ngram, count(*) AS freq FROM grams GROUP BY n, ngram
+)
+SELECT n, ngram, freq,
+       row_number() OVER (PARTITION BY n ORDER BY freq DESC, ngram ASC) AS rk
+FROM counts QUALIFY rk <= 40
+"""
+
+
+def _jaccard_prefix_candidates(toks: DataFrame, t_num: int = 4, t_den: int = 5) -> DataFrame:
+    """Positional prefix filtering (the SSJoin/AllPairs principle): for
+    J(A,B) >= t, A's and B's prefixes of length |d| - ceil(t*|d|) + 1
+    under ONE global token order MUST share a token — so only those
+    prefix tokens enter the inverted-index self-join, and the candidate
+    set is exactly a superset of the true answer (no recall loss; the
+    all-pairs oracle is unchanged). The global order is (document
+    frequency asc, token asc): rarest tokens first, so a hot token
+    ('the', df ~ corpus size) almost never lands in a prefix and can no
+    longer build a df^2 join bucket — the round-1 scale-killer.
+    Prefix length uses exact integer arithmetic (ceil(t*sz) as
+    (t_num*sz + t_den - 1) div t_den) — float 0.8*sz rounds the wrong
+    way for sz divisible by 5.
+
+    toks: (doc_id, word) with per-doc distinct words."""
+    df_counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("word").asc())
+    pos = (
+        toks.join(df_counts, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.row_number().over(w_doc).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    ceil_t_sz = F.floor((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den))
+    prefix = pos.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1).select("doc_id", "word")
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "word")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def docs_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram (word-set) Jaccard near-dup pairs via inverted index:
-    explode distinct tokens, self-equi-join on token, |A∩B| / |A∪B|.
-    The shuffle key is the token (inverted index), never doc×doc."""
+    """Exact word-set Jaccard near-dup pairs (J >= 0.8), scale-hardened:
+    prefix-filtered candidate generation (_jaccard_prefix_candidates —
+    only each doc's rarest few tokens enter the self-join) followed by
+    exact verification on full distinct-token sets for candidates only.
+    Produces exactly the naive all-pairs answer (the DuckDB oracle IS
+    the naive all-pairs SQL, unchanged from round 1) without the
+    hot-token quadratic join bucket."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(TS.tokens(F.col("text")))).alias("word")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    common = (
-        a.join(b, "word")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cands = _jaccard_prefix_candidates(toks)
+    sets = toks.groupBy("doc_id").agg(F.collect_set("word").alias("ws"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size(F.col("wa")) + F.size(F.col("wb")) - inter
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
-        )
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -739,24 +828,70 @@ def _band_candidates(sigs, id_col: str, out_a: str, out_b: str):
     banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
-    return _bucket_pair_join(banded, id_col, out_a, out_b)
+    return _bucket_pair_join(banded, id_col, out_a, out_b, cap=LSH_BUCKET_CAP)
 
 
-def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str):
+# A band bucket with more members than this emits star pairs against its
+# min-id representative instead of the full O(n^2) pair expansion. On
+# organic corpora bucket sizes are near-dup group sizes (single digits;
+# the cap never fires and pair output is bit-identical to the unguarded
+# join — the driver corpora stay on this path, so the DuckDB oracles are
+# unchanged). The cap exists for the degenerate flood: a crawl with
+# millions of byte-identical docs lands the whole clone set in ONE
+# bucket, and 10^6 members is 5*10^11 pairs from a single reducer —
+# star pairing bounds it to n-1 while preserving connectivity for the
+# downstream connected-components clustering (every member still links
+# to the representative, so the clone set still collapses to one
+# cluster, and exact-dedup catches byte-identical content anyway).
+LSH_BUCKET_CAP = 64
+
+
+def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str, cap: int | None = None):
     """Self-join of a (id, band, sig) table: distinct ordered id pairs
     sharing any band bucket — the one shuffle of every LSH candidate
-    generator here (minhash bands and hyperplane bands alike)."""
-    return (
-        banded.alias("a")
+    generator here (minhash bands and hyperplane bands alike). With a
+    `cap`, buckets above it take the star-pairing path (see
+    LSH_BUCKET_CAP); the window and the self-join share the (band, sig)
+    partitioning so the guard adds no extra shuffle. The cap applies to
+    FINE bucket schemes (minhash bands, where a bucket ~ one near-dup
+    group); coarse schemes like the 4-bit hyperplane sign buckets of
+    emb_near_dup_cosine hold ~n/16 members by design and must pass
+    cap=None (star pairing would discard real candidates there)."""
+    if cap is None:
+        return (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
+            .distinct()
+        )
+    w = Window.partitionBy("band", "sig")
+    tagged = banded.select(
+        id_col,
+        "band",
+        "sig",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min(id_col).over(w).alias("_rep"),
+    )
+    small = tagged.filter(F.col("_n") <= cap)
+    pairs_small = (
+        small.alias("a")
         .join(
-            banded.alias("b"),
+            small.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
-        .distinct()
     )
+    pairs_big = tagged.filter(
+        (F.col("_n") > cap) & (F.col(id_col) != F.col("_rep"))
+    ).select(F.col("_rep").alias(out_a), F.col(id_col).alias(out_b))
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def docs_minhash_lsh_pairs(spark, sf_dir):
@@ -933,10 +1068,37 @@ FROM embeddings
 """
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Map-side per-partition top-k pre-reduction: within each input
+    partition keep only the k best (cos desc, vec_id asc) rows per q_id,
+    Arrow-batched, BEFORE any shuffle. Top-k of a total order is
+    distributive, so the global top-k over these survivors is exactly
+    the global top-k over everything — but the final window now sees
+    k * n_probes * n_partitions rows instead of the whole scored corpus
+    (the round-1 single-stage global window shuffled n_corpus * n_probes
+    rows into n_probes reducers: a straggler wall at 100 TB)."""
+    import pandas as pd
+
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            both = both.sort_values(
+                ["q_id", "cos", "vec_id"], ascending=[True, False, True]
+            )
+            acc = both.groupby("q_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return scored.mapInPandas(gen, schema=scored.schema)
+
+
 def emb_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for probe vectors (vec_id < 20):
-    broadcast the probes, stream the corpus — the 100 TB pattern for a
-    small query set. Deterministic: rounded cosine, id tie-break."""
+    broadcast the probes, stream the corpus, pre-reduce each scan
+    partition to its local top-3 per probe (map-side, zero shuffle),
+    then a final window over the tiny survivor set. Deterministic:
+    rounded cosine, id tie-break."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -947,9 +1109,10 @@ def emb_cosine_topk(spark, sf_dir):
         "vec_id",
         V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
     )
+    reduced = _local_topk(scored, 3)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
     )
@@ -1652,14 +1815,35 @@ FROM scored GROUP BY 1, 2
 """
 
 
-def docs_dup_clusters(spark, sf_dir):
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage-truncating materialization for iterative loops.
+    reliable=False -> localCheckpoint: executor-local storage, fast, but
+    an executor loss mid-job forces a recompute from ALREADY-TRUNCATED
+    lineage (job failure). reliable=True -> storage-backed
+    df.checkpoint(): survives executor loss — the production setting
+    for a multi-hour CC job on a real cluster (requires
+    spark.sparkContext.setCheckpointDir on durable storage; the caller
+    sets a temp dir if none is configured)."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
     """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
     pair graph via iterative min-label propagation (the large-star/
     small-star family — driver controls the loop, every step is a pure
     DataFrame join+agg, converges in O(component diameter) rounds).
     Every document gets a cluster representative (isolated docs map to
     themselves). This is the dedup decision table a corpus pipeline
-    feeds back into the scan filter."""
+    feeds back into the scan filter. Pass reliable=True to persist each
+    round to the Spark checkpoint dir (fault-tolerant recovery: after an
+    executor loss the job recomputes only the current round from the
+    last durable checkpoint, instead of dying on truncated lineage)."""
+    if reliable and spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -1667,26 +1851,26 @@ def docs_dup_clusters(spark, sf_dir):
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
-    # localCheckpoint truncates lineage every round — without it the
+    # materialization truncates lineage every round — without it the
     # nested iterative plan grows until the optimizer itself OOMs
-    edges = edges.localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("rep")).localCheckpoint()
+    edges = _materialize(edges, reliable)
+    labels = _materialize(docs.select("doc_id", F.col("doc_id").alias("rep")), reliable)
     for _ in range(12):  # diameter bound; fixpoint check below
-        prop = (
+        prop = _materialize(
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "rep")
             .unionByName(labels)
             .groupBy("doc_id")
-            .agg(F.min("rep").alias("rep"))
-            .localCheckpoint()
+            .agg(F.min("rep").alias("rep")),
+            reliable,
         )
         # pointer jumping: rep := rep(rep) — halves remaining diameter,
         # giving O(log n) total rounds instead of O(diameter)
         m = prop.select(F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep"))
-        jumped = (
+        jumped = _materialize(
             prop.join(m, prop.rep == m.m_doc, "left")
-            .select("doc_id", F.coalesce("m_rep", "rep").alias("rep"))
-            .localCheckpoint()
+            .select("doc_id", F.coalesce("m_rep", "rep").alias("rep")),
+            reliable,
         )
         changed = (
             jumped.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")

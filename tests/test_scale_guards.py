@@ -1,0 +1,160 @@
+"""Scale-hardening guards flagged in round 1: the exact-Jaccard join
+must not build quadratic hot-token buckets (prefix filtering), the
+brute-force cosine top-k must pre-reduce per partition before the global
+window, and an LSH mega-bucket (byte-identical doc flood) must not
+generate quadratic candidate pairs."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from basicocr_spark import queries as Q  # noqa: E402
+
+
+def _hot_token_corpus(spark):
+    """62 docs all sharing one universal token; docs 100/101 are
+    token-identical (the only true J>=0.8 pair). Every doc also carries
+    8 unique tokens so prefixes are pure rare-token territory."""
+    rows = []
+    for i in range(60):
+        rows.append((i, "common " + " ".join(f"u{i}_{j}" for j in range(8))))
+    dup = "common " + " ".join(f"dup_{j}" for j in range(8))
+    rows.append((100, dup))
+    rows.append((101, dup))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_prefix_candidates_bounded_and_exact(spark):
+    from basicocr_spark.functions import textstats as TS
+
+    d = _hot_token_corpus(spark)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(TS.tokens(F.col("text")))).alias("word")
+    )
+    cands = {(r[0], r[1]) for r in Q._jaccard_prefix_candidates(toks).collect()}
+    # the universal token has df=62 and never lands in a prefix: the only
+    # candidate is the planted duplicate pair, not the 62*61/2 all-pairs
+    assert cands == {(100, 101)}
+
+
+def test_lsh_bucket_guard_bounds_duplicate_flood(spark, tmp_path):
+    """500 byte-identical docs land in one bucket per band; the guard
+    must emit star pairs (n-1 per bucket -> 499 distinct candidates),
+    not the 124,750 all-pairs expansion — while keeping the clone set
+    one connected component."""
+    rows = [(i, "identical duplicate flood document body text") for i in range(500)]
+    # plus a normal near-dup pair and unique docs, to check the small-
+    # bucket path still does exact pairing alongside the flood
+    rows.append((1000, "some unique words alpha beta gamma delta"))
+    rows.append((1001, "some unique words alpha beta gamma delta"))
+    rows.append((1002, "entirely different content nothing shared here"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    pairs = {(r[0], r[1]) for r in Q.docs_minhash_lsh_pairs(spark, str(sf)).collect()}
+    flood = {p for p in pairs if p[1] < 1000}
+    assert flood == {(0, i) for i in range(1, 500)}  # star around min id
+    assert (1000, 1001) in pairs
+    assert not any(1002 in p for p in pairs)
+
+    # connectivity survives the cap: the flood is still ONE cluster
+    clusters = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in Q.docs_dup_clusters(spark, str(sf)).collect()
+    }
+    assert {clusters[i] for i in range(500)} == {0}
+    assert clusters[1000] == clusters[1001] == 1000
+    assert clusters[1002] == 1002
+
+
+def test_dup_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """reliable=True must route every iterative round through the
+    storage-backed Spark checkpoint dir (files actually land there) and
+    produce the identical clustering."""
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    want = sorted(tuple(r) for r in Q.docs_dup_clusters(spark, sf).collect())
+    got = sorted(tuple(r) for r in Q.docs_dup_clusters(spark, sf, reliable=True).collect())
+    assert got == want
+    ckpt_files = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert ckpt_files, "reliable=True wrote nothing to the checkpoint dir"
+
+
+def test_emb_topk_prereduces_before_window(spark):
+    """The scored corpus must hit a MapInPandas local top-k BEFORE the
+    window's Exchange — no reducer ever sees the full scored set — and
+    the pre-reduced result must equal the plain global-window answer."""
+    sf = "/root/testdata/sf0.001"
+    df = Q.emb_cosine_topk(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # the local reduction sits upstream of the window's shuffle
+    assert plan.index("Window") < plan.index("MapInPandas")  # toString prints top-down
+
+    # equality vs the unreduced window form
+    from pyspark.sql import Window as W
+    from basicocr_spark.functions import vectors as V
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
+        .collect()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+
+def test_jaccard_prefix_result_equals_naive(spark, tmp_path):
+    """The prefix-filtered query must produce exactly the naive all-pairs
+    answer on a corpus with near-misses straddling the threshold."""
+    rows = []
+    # families of docs with controlled overlap around J = 0.8
+    base = [f"w{j}" for j in range(10)]
+    rows.append((0, " ".join(base)))
+    rows.append((1, " ".join(base)))  # J(0,1) = 1.0
+    rows.append((2, " ".join(base[:9] + ["x2"])))  # J = 9/11 ~ 0.818
+    rows.append((3, " ".join(base[:8] + ["x3", "y3"])))  # J = 8/12 ~ 0.667
+    rows.append((4, " ".join(base[:9])))  # J(0,4) = 9/10 = 0.9
+    for i in range(5, 25):
+        rows.append((i, " ".join(f"z{i}_{j}" for j in range(10))))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in Q.docs_jaccard_pairs(spark, str(sf)).collect()}
+
+    # naive truth
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 6) >= 0.8:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and (0, 4) in got and (0, 2) in got and (0, 3) not in got
