@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_extreme_customers": Q.nation_extreme_customers,
         "part_string_ops": Q.part_string_ops,
         "docs_strip_stopcontent": Q.docs_strip_stopcontent,
+        "docs_strip_large_dict": Q.docs_strip_large_dict,
         "docs_token_correction": Q.docs_token_correction,
         "parts_never_ordered": Q.parts_never_ordered,
         "suppliers_with_orders": Q.suppliers_with_orders,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_extreme_customers": Q.NATION_EXTREME_SQL,
         "part_string_ops": Q.PART_STRING_SQL,
         "docs_strip_stopcontent": Q.DOCS_STRIP_SQL,
+        "docs_strip_large_dict": Q._duck_strip_large_dict_sql(),
         "docs_token_correction": Q._duck_correction_sql(),
         "parts_never_ordered": Q.PARTS_NEVER_SQL,
         "suppliers_with_orders": Q.SUPPLIERS_WITH_SQL,

@@ -75,6 +75,22 @@ def strip_stop_content(col: Column, terms: list[str]) -> Column:
     return F.regexp_replace(col, stop_content_pattern(terms), "")
 
 
+def strip_stop_content_df(df, terms: list[str], text_col: str = "text", out_col: str = "clean"):
+    """J6 at dictionary scale (Test.java:64-66 double-array-trie AC):
+    small dictionaries stay on the whole-stage-codegen'd regexp column
+    (zero Python, the common case); at/above AC_TERM_THRESHOLD terms the
+    broadcast Aho-Corasick automaton takes over in one mapInPandas pass —
+    O(text) per document independent of dictionary size, where the
+    compiled alternation re-tries the whole dictionary at every scan
+    position. Both paths produce identical output (leftmost-longest;
+    pinned by tests/test_aho.py)."""
+    from ..functions.aho import AC_TERM_THRESHOLD, strip_terms_ac_df
+
+    if len(terms) >= AC_TERM_THRESHOLD:
+        return strip_terms_ac_df(df, terms, text_col, out_col)
+    return df.withColumn(out_col, strip_stop_content(F.col(text_col), terms))
+
+
 def extract_main_text(col: Column, stop_terms: list[str]) -> Column:
     """Full text-span pipeline: blocks -> score -> keep -> tagless ->
     join -> stop-strip -> whitespace-normalize."""

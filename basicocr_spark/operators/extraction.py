@@ -159,9 +159,13 @@ def _stitch_spans(unioned: DataFrame, docs: DataFrame) -> DataFrame:
             F.collect_list(
                 F.struct(
                     F.col("offset"),
-                    F.col("kind"),
+                    # null-kind contract: out-of-contract null kind sorts
+                    # as '' (data passes through untouched below) — same
+                    # `p[1] or ""` key as the reference and both kernels
+                    F.coalesce("kind", F.lit("")).alias("kind_key"),
                     F.coalesce("media_ref", F.lit("")).alias("mref_key"),
                     F.coalesce("out_text", F.lit("")).alias("text_key"),
+                    F.col("kind"),
                     F.col("out_text"),
                     F.col("media_ref"),
                 )
@@ -218,8 +222,11 @@ def extract_documents_sql(
     )
 
     # routing is text vs non-text; out-of-contract kinds take the media
-    # leg with their kind preserved (matches reference.extract_document)
-    media = spans.filter(F.col("kind") != "text")
+    # leg with their kind preserved (matches reference.extract_document).
+    # eqNullSafe: schema declares kind non-null but parquet reads don't
+    # enforce it — a null kind must route to the media leg like the
+    # fused kernels and the reference do, not vanish (plain != is null)
+    media = spans.filter(~F.col("kind").eqNullSafe("text"))
     recognized = recognize_media(media, logits_df, alphabet)
     # Correction operates on the distinct recognized vocabulary, then a
     # broadcast map-join rehydrates occurrences. Decoded text over this
@@ -272,11 +279,19 @@ def extract_documents_with_pdf_sql(
 
     pdf_spans = spans.filter(F.col("kind") == "pdf")
     pdf_texts = pdf_documents_text(pdf_blobs)  # (media_ref, text)
+    # no broadcast hint: unlike the dictionary/logits sides, a PDF blob
+    # corpus has no dictionary-size contract — forcing it past the
+    # broadcast limit is a driver OOM at scale. AQE picks broadcast when
+    # the parsed table is actually small.
     pdf_done = pdf_spans.drop("text").join(
-        F.broadcast(pdf_texts.withColumnRenamed("text", "parsed")), "media_ref", "left"
+        pdf_texts.withColumnRenamed("text", "parsed"), "media_ref", "left"
     ).withColumn("out_text", F.coalesce("parsed", F.lit(""))).drop("parsed")
 
-    media = spans.filter(~F.col("kind").isin("text", "pdf"))
+    # null-safe routing: null/unknown kinds take the media leg (see
+    # extract_documents_sql)
+    media = spans.filter(
+        ~(F.col("kind").eqNullSafe("text") | F.col("kind").eqNullSafe("pdf"))
+    )
     recognized = recognize_media(media, logits_df, alphabet)
     vocab = recognized.select(F.col("raw_text").alias("token")).filter(F.col("token") != "")
     corrections = correct_tokens(vocab, dict_df, max_cost=max_cost)
@@ -352,7 +367,7 @@ def extract_documents_fused(
                 )
             out_spans = []
             for processed in per_doc:
-                processed.sort(key=lambda p: (p[0], p[1], p[3] or "", p[2] or ""))
+                processed.sort(key=lambda p: (p[0], p[1] or "", p[3] or "", p[2] or ""))
                 out_spans.append(
                     [
                         {"kind": kind, "text": txt, "media_ref": mref, "order": rank}
@@ -430,10 +445,11 @@ def extract_documents_fused_arrow(
                 out_text[media_mask] = refs.map(lookup).to_numpy()
 
             # same composite order as the pandas kernel / SQL array_sort:
-            # (doc, offset, kind, media_ref-or-'', text-or-'')
+            # (doc, offset, kind-or-'', media_ref-or-'', text-or-'')
             text_key = out_text.fillna("").to_numpy()
             mref_key = mref.fillna("").to_numpy()
-            perm = np.lexsort((text_key, mref_key, kind.to_numpy(), offset, doc_ix))
+            kind_key = kind.fillna("").to_numpy()
+            perm = np.lexsort((text_key, mref_key, kind_key, offset, doc_ix))
             doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             order = (np.arange(total) - np.repeat(doc_starts, counts)).astype(np.int32)
 

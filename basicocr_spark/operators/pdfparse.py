@@ -127,6 +127,15 @@ def _unescape(raw: bytes) -> str:
                 out += bytes([int(raw[i + 1 : j], 8) & 0xFF])
                 i = j
                 continue
+            # backslash-EOL is a line continuation (PDF 32000-1 §7.3.4.2):
+            # both characters drop, \r\n counting as ONE end-of-line —
+            # wrapped literal strings in real crawled PDFs must not gain
+            # spurious newlines
+            if nxt in (b"\n", b"\r"):
+                i += 2
+                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
             out += _ESCAPES.get(nxt, nxt)
             i += 2
             continue

@@ -533,9 +533,13 @@ def docs_word_freq(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # pre-reduce each partition of the counts table to its local top-50
+    # before the single-reducer global ranking window (vocab tables are
+    # millions of rows at web scale)
+    reduced = _local_topk(counts, 50, [], ["freq", "word"], [False, True])
     w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 50)
         .select("word", "freq", F.col("rk").cast("long").alias("rk"))
     )
@@ -619,9 +623,10 @@ def docs_word_freq_cjk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(TS.cjk_tokens(_cjk_text_col())).alias("word"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    reduced = _local_topk(counts, 80, [], ["freq", "word"], [False, True])
     w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 80)
         .select("word", "freq", F.col("rk").cast("long").alias("rk"))
     )
@@ -676,9 +681,12 @@ def docs_ngram_counts(spark, sf_dir):
     counts = (
         legs[0].unionByName(legs[1]).groupBy("n", "ngram").agg(F.count(F.lit(1)).alias("freq"))
     )
+    # n-gram count tables are billions of rows at web scale: local top-40
+    # per n per partition before the 2-reducer ranking window
+    reduced = _local_topk(counts, 40, ["n"], ["n", "freq", "ngram"], [True, False, True])
     w = Window.partitionBy("n").orderBy(F.col("freq").desc(), F.col("ngram").asc())
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 40)
         .select("n", "ngram", "freq", F.col("rk").cast("long").alias("rk"))
     )
@@ -1068,29 +1076,31 @@ FROM embeddings
 """
 
 
-def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+def _local_topk(
+    df: DataFrame, k: int, by: list[str], order: list[str], ascending: list[bool]
+) -> DataFrame:
     """Map-side per-partition top-k pre-reduction: within each input
-    partition keep only the k best (cos desc, vec_id asc) rows per q_id,
-    Arrow-batched, BEFORE any shuffle. Top-k of a total order is
-    distributive, so the global top-k over these survivors is exactly
-    the global top-k over everything — but the final window now sees
-    k * n_probes * n_partitions rows instead of the whole scored corpus
-    (the round-1 single-stage global window shuffled n_corpus * n_probes
-    rows into n_probes reducers: a straggler wall at 100 TB)."""
+    partition keep only the k best rows (sorted by `order`/`ascending`)
+    per `by` group (empty `by` = one global group), Arrow-batched,
+    BEFORE any shuffle. Top-k of a total order is distributive, so the
+    downstream global ranking over these survivors is exactly the
+    ranking over everything — but it now sees k * n_groups *
+    n_partitions rows instead of the full table (a single-stage global
+    window shuffles everything into n_groups reducers: a straggler wall
+    at 100 TB). Used by the cosine top-k (per probe), word-frequency
+    (global vocab), and n-gram (per n) rankings."""
     import pandas as pd
 
     def gen(batches):
         acc = None
         for pdf in batches:
             both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
-            both = both.sort_values(
-                ["q_id", "cos", "vec_id"], ascending=[True, False, True]
-            )
-            acc = both.groupby("q_id", sort=False).head(k)
+            both = both.sort_values(order, ascending=ascending)
+            acc = both.groupby(by, sort=False).head(k) if by else both.head(k)
         if acc is not None and len(acc):
             yield acc
 
-    return scored.mapInPandas(gen, schema=scored.schema)
+    return df.mapInPandas(gen, schema=df.schema)
 
 
 def emb_cosine_topk(spark, sf_dir):
@@ -1109,7 +1119,7 @@ def emb_cosine_topk(spark, sf_dir):
         "vec_id",
         V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
     )
-    reduced = _local_topk(scored, 3)
+    reduced = _local_topk(scored, 3, ["q_id"], ["q_id", "cos", "vec_id"], [True, False, True])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         reduced.withColumn("rk", F.row_number().over(w))
@@ -1466,6 +1476,49 @@ def docs_strip_stopcontent(spark, sf_dir):
 DOCS_STRIP_SQL = r"""
 SELECT doc_id,
        CAST(length(trim(regexp_replace(regexp_replace(text, 'batch|data|the ', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_len,
+       CAST(length(text) AS BIGINT) AS orig_len
+FROM documents
+"""
+
+
+# 10k-term-class stop dictionary derived from the corpus vocabulary
+# (phrase cross-product; deterministic, no external data). Big enough
+# that strip_stop_content_df routes to the Aho-Corasick automaton.
+def _large_stop_dict() -> list[str]:
+    words = [
+        "table", "row", "query", "join", "stream", "merge", "batch",
+        "scan", "sort", "window", "group", "filter", "hash", "key", "value",
+    ]
+    return [f"{a} {b}" for a in words for b in words]
+
+
+def docs_strip_large_dict(spark, sf_dir):
+    """J6 at dictionary scale (Test.java:64-66 double-array-trie AC): the
+    225-phrase dictionary exceeds AC_TERM_THRESHOLD, so the Spark side
+    runs the broadcast Aho-Corasick automaton (one O(text) mapInPandas
+    scan, cost independent of dictionary size) while the oracle runs the
+    equivalent longest-first regexp alternation — a green row proves the
+    automaton reproduces alternation semantics cross-engine."""
+    from .operators.boilerplate import strip_stop_content_df
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    stripped = strip_stop_content_df(d, _large_stop_dict(), "text", "clean")
+    norm = F.trim(F.regexp_replace("clean", r"\s+", " "))
+    return stripped.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("clean_len"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
+def _duck_strip_large_dict_sql() -> str:
+    # same longest-first order as reference.stop_term_pattern, unescaped
+    # (terms are alnum+space, RE2-safe)
+    terms = sorted(_large_stop_dict(), key=lambda t: (-len(t), t))
+    pat = "|".join(terms)
+    return rf"""
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(regexp_replace(text, '{pat}', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_len,
        CAST(length(text) AS BIGINT) AS orig_len
 FROM documents
 """

@@ -70,14 +70,29 @@ def read_labeled_images(spark: SparkSession, manifest_path: str, images_glob: st
         F.col("path").alias("file_uri"), "content"
     )
     # binaryFile paths are absolute URIs; manifest paths may be bare
-    # file names — join on the trailing path segment, the reference's
-    # effective key (tolmdb.py:48-50 checks os.path.exists on the raw
-    # manifest path; here missing files simply drop out of the join, P3)
+    # file names or relative paths — hash-join on the trailing path
+    # segment (the equi key), then require the full URI to end with the
+    # normalized manifest path so two files with the same basename in
+    # different directories can never cross-match (tolmdb.py:48-50
+    # checks os.path.exists on the raw manifest path; here missing
+    # files simply drop out of the join, P3)
     key = F.element_at(F.split(F.col("file_uri"), "/"), -1)
-    return images.withColumn("fname", key).join(
-        F.broadcast(manifest.withColumn("fname", F.element_at(F.split(F.col("path"), "/"), -1))),
-        "fname",
-    ).select("path", "label", "content")
+    norm = F.regexp_replace(F.col("path"), r"^\./", "")
+    suffix = F.when(norm.startswith("/"), norm).otherwise(F.concat(F.lit("/"), norm))
+    m = manifest.select(
+        "path",
+        "label",
+        F.element_at(F.split(norm, "/"), -1).alias("fname"),
+        suffix.alias("suffix"),
+    )
+    return (
+        images.withColumn("img_fname", key)
+        .join(
+            F.broadcast(m),
+            (F.col("img_fname") == m["fname"]) & F.col("file_uri").endswith(m["suffix"]),
+        )
+        .select("path", "label", "content")
+    )
 
 
 def read_dictionary(spark: SparkSession, path: str) -> DataFrame:

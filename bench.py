@@ -27,6 +27,12 @@ REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "120"))
 
 N_BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
 
+# Bump whenever replicated_interleaved's generation logic changes: the
+# version is part of the corpus cache path, so a logic change can never
+# silently reuse a stale materialized corpus and benchmark the wrong
+# input.
+CORPUS_GEN_VERSION = 2
+
 
 def materialize_corpus(spark, sf_dir: str, k: int, n_partitions: int = N_BENCH_PARTITIONS) -> str:
     """Write the replicated interleaved corpus to a local parquet dir
@@ -38,7 +44,8 @@ def materialize_corpus(spark, sf_dir: str, k: int, n_partitions: int = N_BENCH_P
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"basicocr_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{k}_p{n_partitions}",
+        f"basicocr_bench_corpus_v{CORPUS_GEN_VERSION}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_x{k}_p{n_partitions}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         replicated_interleaved(spark, sf_dir, k, n_partitions).write.mode(
@@ -104,7 +111,7 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
         timings["extraction_fused"] = round(t_extract, 3)
         docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
 
-        # -- headline operator queries
+        # -- headline operator queries (throughput-meaningful at sf_dir)
         headliners = [
             "q1_pricing_summary",
             "q5_region_revenue",
@@ -112,19 +119,31 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             "events_sessionization",
             "events_running_sum",
             "docs_minhash_lsh_pairs",
+            "docs_minhash_lsh_pairs_cjk",
             "docs_simhash",
             "docs_near_dup_verified",
             "docs_fingerprint",
+            "docs_ngram_counts",
+            "docs_strip_large_dict",
             "emb_cosine_topk",
-            "ctc_decode",
-            "extraction_e2e",
         ]
+        # tiny seeded-fixture correctness queries (24-doc scale): their
+        # runtime is Catalyst stage/broadcast fixed cost, not throughput —
+        # timed separately so they can't read as "the slowest query" in
+        # the headline total
+        fixture_queries = ["ctc_decode", "extraction_e2e"]
         qmap = E.queries()
         for name in headliners:
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+        fixture_timings: dict[str, float] = {}
+        for name in fixture_queries:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            fixture_timings[name] = round(time.perf_counter() - t0, 3)
 
         total = round(sum(timings.values()), 3)
         result = {
@@ -132,6 +151,7 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "fixture_queries_sec": fixture_timings,  # excluded from value
             "sf": sf_dir.rstrip("/").split("sf")[-1],
             "extraction_docs": n_docs,
             "extraction_spans": int(n_spans),

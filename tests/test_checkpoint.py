@@ -130,3 +130,18 @@ def test_cli_run_preserves_multichar_doc_ids(spark, tmp_path):
     assert stats["docs"] == 8
     got = {r.doc_id for r in SnapshotWriter(spark, out).read_committed().collect()}
     assert got == set(ids)
+
+
+def test_iceberg_flag_raises_clearly_without_jars(spark, tmp_path):
+    """The sandbox has no Iceberg runtime: iceberg_available must say so,
+    and opting into catalog_table must fail AT CONSTRUCTION with the
+    directory fallback named — never mid-job."""
+    import pytest
+
+    from basicocr_spark.plans.checkpoint import SnapshotWriter, iceberg_available
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="directory snapshot model"):
+        SnapshotWriter(spark, str(tmp_path / "root"), catalog_table="cat.db.extracted")
+    # default construction is unaffected by the flag's existence
+    assert SnapshotWriter(spark, str(tmp_path / "root")).catalog_table is None

@@ -86,6 +86,63 @@ def test_all_three_agree_on_edges(spark, fx, adv_docs):
         assert arrow_map[doc_id] == want[doc_id], ("arrow", doc_id)
 
 
+def test_null_kind_routes_to_media_leg_everywhere(spark, fx):
+    """Out-of-contract NULL kind (schema says non-null, parquet doesn't
+    enforce it): the SQL pipelines must route it to the media leg via
+    null-safe comparison, exactly like the fused kernels and the Python
+    oracle — not silently drop the span (kind != 'text' is null-valued
+    and filters it out)."""
+    from pyspark.sql import types as T
+
+    nullable_span = T.StructType(
+        [
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", T.ArrayType(nullable_span), False),
+        ]
+    )
+    rows = [
+        ("null_kind", [(None, None, "m000001", 1),
+                       ("text", "<p>one two three four five six</p>", None, 2)]),
+    ]
+    docs = spark.createDataFrame(rows, schema=schema)
+
+    logits_by_ref = {r.media_ref: [list(x) for x in r.logits] for r in fx["media_logits"].collect()}
+    entries = R.load_dictionary(fx["dict_lines"])
+    want = {
+        doc_id: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in R.extract_document(
+                [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans],
+                logits_by_ref,
+                entries,
+                STOP_TERMS,
+            )
+        ]
+        for doc_id, spans in rows
+    }
+    sql_map = _spans_map(
+        extract_documents_sql(docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
+    )
+    logits_rows = [
+        (r.media_ref, [list(x) for x in r.logits], r.gold_text)
+        for r in fx["media_logits"].collect()
+    ]
+    arrow_map = _spans_map(
+        extract_documents_fused_arrow(docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+    )
+    assert sql_map == want  # two spans survive, null kind on the media leg
+    assert arrow_map == want
+    assert len(sql_map["null_kind"]) == 2
+
+
 def test_sql_preserves_empty_doc(spark, fx, adv_docs):
     out = extract_documents_sql(adv_docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
     row = {r.doc_id: r.spans for r in out.collect()}["empty"]

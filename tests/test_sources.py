@@ -39,6 +39,23 @@ def test_manifest_and_binary_join(spark, tmp_path):
     assert all(n > 0 for _, n in got.values())
 
 
+def test_same_basename_in_different_dirs_does_not_cross_match(spark, tmp_path):
+    """Two files named img.bin in sibling dirs: the manifest's relative
+    path must select exactly its own file — a basename-only join would
+    duplicate/mislabel both rows."""
+    d = str(tmp_path)
+    for sub, payload in (("a", b"payload-a-0"), ("b", b"payload-b-longer")):
+        os.makedirs(os.path.join(d, sub))
+        _write(os.path.join(d, sub), "img.bin", payload)
+    manifest = _write(d, "m.txt", "a/img.bin label_a\nb/img.bin label_b\n")
+    out = SRC.read_labeled_images(spark, manifest, os.path.join(d, "*", "*.bin")).collect()
+    got = {r.path: (r.label, len(r.content)) for r in out}
+    assert got == {
+        "a/img.bin": ("label_a", len(b"payload-a-0")),
+        "b/img.bin": ("label_b", len(b"payload-b-longer")),
+    }
+
+
 def test_manifest_label_split_is_first_whitespace(spark, tmp_path):
     manifest = _write(str(tmp_path), "m.txt", "a/b.png multi word label\n")
     rows = SRC.read_manifest(spark, manifest).collect()
