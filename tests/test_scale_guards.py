@@ -126,6 +126,18 @@ def test_emb_topk_prereduces_before_window(spark):
     assert got == want
 
 
+def test_ranking_queries_prereduce_before_window(spark):
+    """word-freq / CJK word-freq / n-gram rankings must carry the
+    map-side local top-k (MapInPandas) upstream of their ranking window
+    — the counts table shuffles k*partitions rows, never the full
+    vocab/n-gram table."""
+    sf = "/root/testdata/sf0.001"
+    for q in (Q.docs_word_freq, Q.docs_word_freq_cjk, Q.docs_ngram_counts):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, q.__name__
+        assert plan.index("Window") < plan.index("MapInPandas"), q.__name__
+
+
 def test_jaccard_prefix_result_equals_naive(spark, tmp_path):
     """The prefix-filtered query must produce exactly the naive all-pairs
     answer on a corpus with near-misses straddling the threshold."""
