@@ -146,12 +146,13 @@ def minhash_batch(
     return out
 
 
-def simhash_batch(texts: list[str]) -> np.ndarray:
+def simhash_batch(texts: list[str], tokenizer: str = "ws") -> np.ndarray:
     """(n_docs,) int64 32-bit simhash: per-bit ±1 votes from each word
     hash, sign-thresholded. Docs with no tokens get 0 votes -> 0."""
     if not texts:
         return np.zeros(0, dtype=np.int64)
-    toks_per_doc = [_tokens(t) for t in texts]
+    tok_fn = TOKENIZERS[tokenizer]
+    toks_per_doc = [tok_fn(t) for t in texts]
     counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
     flat = [w for doc in toks_per_doc for w in doc]
     W = poly_hash_flat(flat)
@@ -211,12 +212,19 @@ def minhash_signatures_df(
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
-def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", tokenizer: str = "ws"
+) -> DataFrame:
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": simhash_batch(pdf[text_col].tolist())})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": simhash_batch(pdf[text_col].tolist(), tokenizer),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=f"{id_col} {id_type}, simhash long")
 

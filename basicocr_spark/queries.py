@@ -667,19 +667,28 @@ def docs_ngram_counts(spark, sf_dir):
     in one pass; docs shorter than n tokens contribute nothing at that
     n; deterministic top-40 per n."""
     d = _t(spark, sf_dir, "documents")
-    legs = []
-    for n in (2, 3):
+
+    def _grams(n: int):
         toks = TS.tokens(F.col("text"))
-        grams = F.when(
+        arr = F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - n + 1),
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        legs.append(d.select(F.lit(n).alias("n"), F.explode(grams).alias("ngram")))
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("ngram"))
+        )
+
+    # both gram sizes from ONE corpus scan: concat the per-n struct
+    # arrays before the single explode (a union of two selects scans
+    # the documents table twice)
     counts = (
-        legs[0].unionByName(legs[1]).groupBy("n", "ngram").agg(F.count(F.lit(1)).alias("freq"))
+        d.select(F.explode(F.concat(_grams(2), _grams(3))).alias("g"))
+        .select(F.col("g.n").alias("n"), F.col("g.ngram").alias("ngram"))
+        .groupBy("n", "ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
     )
     # n-gram count tables are billions of rows at web scale: local top-40
     # per n per partition before the 2-reducer ranking window

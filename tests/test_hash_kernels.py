@@ -77,8 +77,8 @@ def _expr_minhash(df, num_hashes=8, k=2, tokenizer=None):
     return df.select("doc_id", *cols)
 
 
-def _expr_simhash(df):
-    toks = TS.tokens(F.col("text"))
+def _expr_simhash(df, tokenizer=None):
+    toks = (tokenizer or TS.tokens)(F.col("text"))
     whashes = F.transform(toks, lambda w: TS._poly_hash_expr(w))
     bit_idx = F.sequence(F.lit(0), F.lit(31))
     init = F.transform(bit_idx, lambda j: F.lit(0).cast("long"))
@@ -168,6 +168,13 @@ def test_simhash_kernel_matches_expressions(spark):
         got = _as_map(HK.simhash_df(df))
         want = _as_map(_expr_simhash(df))
         assert got == want
+
+
+def test_cjk_simhash_kernel_matches_expressions(spark):
+    df = _cjk_edge_df(spark)
+    got = _as_map(HK.simhash_df(df, tokenizer="cjk"))
+    want = _as_map(_expr_simhash(df, tokenizer=TS.cjk_tokens))
+    assert got == want
 
 
 def test_cosine_kernel_bit_identical_to_expression(spark):
