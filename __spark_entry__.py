@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_parse": Q.events_props_parse,
         "events_type_matrix": Q.events_type_matrix,
         "events_value_histogram_top1": Q.events_value_histogram_top1,
+        "events_asof_join": Q.events_asof_join,
         "nation_customer_supplier_overlap": Q.nation_customer_supplier_overlap,
         "nation_extreme_customers": Q.nation_extreme_customers,
         "part_string_ops": Q.part_string_ops,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_parse": Q.EVENTS_PROPS_SQL,
         "events_type_matrix": Q.EVENTS_MATRIX_SQL,
         "events_value_histogram_top1": Q.EVENTS_HIST_SQL,
+        "events_asof_join": Q.EVENTS_ASOF_SQL,
         "nation_customer_supplier_overlap": Q.NATION_OVERLAP_SQL,
         "nation_extreme_customers": Q.NATION_EXTREME_SQL,
         "part_string_ops": Q.PART_STRING_SQL,

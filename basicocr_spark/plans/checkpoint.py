@@ -83,61 +83,142 @@ def partition_manifest(extracted: DataFrame) -> DataFrame:
     )
 
 
+class _CatalogIO:
+    """Side-effect seam for the Iceberg leg: every catalog read/write the
+    SnapshotWriter performs goes through these five calls, so the commit
+    protocol (ordering, idempotence, resume) is unit-testable with a
+    fake — the sandbox has no Iceberg runtime to run the real thing.
+    All tables are partitioned by snapshot_id, so per-sid reads prune to
+    one partition instead of scanning every historical snapshot."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def create_partitioned(self, df: DataFrame, name: str) -> None:
+        df.writeTo(name).partitionedBy(F.col("snapshot_id")).create()
+
+    def overwrite_snapshot(self, df: DataFrame, name: str, sid: str) -> None:
+        # atomic replace of exactly this snapshot's partition — a retry
+        # after a crash mid-commit replaces its own orphan rows instead
+        # of appending duplicates
+        df.writeTo(name).overwrite(F.col("snapshot_id") == F.lit(sid))
+
+
 class SnapshotWriter:
     """Checkpointed extraction runner: process only not-yet-committed
     documents, write data + manifest, then commit atomically.
 
-    catalog_table: opt-in Iceberg mode — when a real catalog is
-    configured (iceberg_available), data/docids/manifest commit as
-    appends to `<catalog_table>` / `<catalog_table>_docids` /
-    `<catalog_table>_manifest` via the DataFrameWriterV2 API, and
-    Iceberg's own snapshot log supplies atomic visibility (the _commits
-    marker file below models exactly that). Constructing with a
-    catalog_table while the jar is absent raises immediately with the
-    directory-model fallback named, instead of failing mid-job."""
+    catalog_table: opt-in Iceberg mode — data/docids/manifest land in
+    `<catalog_table>` / `<catalog_table>_docids` /
+    `<catalog_table>_manifest` via DataFrameWriterV2 (all partitioned by
+    snapshot_id). The MANIFEST write is last and is the visibility
+    point, exactly like the directory model's marker file: a snapshot is
+    committed iff its sid appears in the manifest table, so resume
+    (processed_doc_ids/read_committed) filters every read to
+    manifest-committed sids and orphan data rows from a mid-commit crash
+    stay invisible; the retry overwrites that sid's partitions
+    idempotently. Constructing with a catalog_table while the Iceberg
+    jar or the named catalog's spark.sql.catalog config is absent raises
+    immediately with the directory-model fallback named, instead of
+    failing mid-job."""
 
-    def __init__(self, spark: SparkSession, root: str, catalog_table: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog_table: str | None = None,
+        catalog_io: _CatalogIO | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.catalog_table = catalog_table
-        if catalog_table is not None and not iceberg_available(spark):
-            raise RuntimeError(
-                "SnapshotWriter(catalog_table=...) needs the Iceberg runtime "
-                "jar + a configured spark.sql.catalog; this session has "
-                "neither. Omit catalog_table to use the directory snapshot "
-                "model (same commit semantics, local filesystem)."
+        if catalog_table is not None and catalog_io is None:
+            catalog_name = catalog_table.split(".")[0]
+            configured = (
+                spark.conf.get(f"spark.sql.catalog.{catalog_name}", None) is not None
             )
+            if not (iceberg_available(spark) and configured):
+                raise RuntimeError(
+                    "SnapshotWriter(catalog_table=...) needs the Iceberg "
+                    f"runtime jar AND spark.sql.catalog.{catalog_name} "
+                    "configured; this session is missing one or both. Omit "
+                    "catalog_table to use the directory snapshot model "
+                    "(same commit semantics, local filesystem)."
+                )
+        self._io = catalog_io or _CatalogIO(spark)
 
-    def _commit_iceberg(self, extracted: DataFrame, sid: str) -> dict:
-        """Iceberg leg of commit(): three appends; the data append is the
-        visibility point (Iceberg commits are atomic per table — a crash
-        between appends leaves orphan manifest rows for an sid absent
-        from the data table's snapshot log, filtered on read by sid)."""
-        t0 = time.perf_counter()
-        data = extracted.withColumn("snapshot_id", F.lit(sid))
-        data.writeTo(self.catalog_table).append()
-        data.select("doc_id", "snapshot_id").writeTo(
-            f"{self.catalog_table}_docids"
-        ).append()
-        wall = time.perf_counter() - t0
-        manifest = partition_manifest(
-            self.spark.table(self.catalog_table).filter(F.col("snapshot_id") == sid)
-        ).withColumn("wall_time_sec", F.lit(round(wall, 3))).withColumn(
-            "snapshot_id", F.lit(sid)
+    # -- catalog-mode internals -------------------------------------------
+
+    def _committed_sids_catalog(self) -> list[str]:
+        """Snapshot ids whose manifest append (the visibility point)
+        completed — the catalog twin of committed_snapshots()."""
+        name = f"{self.catalog_table}_manifest"
+        if not self._io.exists(name):
+            return []
+        return sorted(
+            r["snapshot_id"]
+            for r in self._io.read(name).select("snapshot_id").distinct().collect()
         )
-        manifest.writeTo(f"{self.catalog_table}_manifest").append()
-        stats = {
-            r["partition_id"]: (r["doc_count"], r["span_count"])
-            for r in self.spark.table(f"{self.catalog_table}_manifest")
+
+    def _manifest_stats_catalog(self, sid: str) -> dict:
+        rows = (
+            self._io.read(f"{self.catalog_table}_manifest")
             .filter(F.col("snapshot_id") == sid)
             .collect()
-        }
-        return {"snapshot_id": sid, "partitions": stats}
+        )
+        return {r["partition_id"]: (r["doc_count"], r["span_count"]) for r in rows}
+
+    def _write_snapshot_table(self, df: DataFrame, name: str, sid: str) -> None:
+        if not self._io.exists(name):
+            self._io.create_partitioned(df, name)
+        else:
+            self._io.overwrite_snapshot(df, name, sid)
+
+    def _commit_iceberg(self, extracted: DataFrame, sid: str) -> dict:
+        """Catalog leg of commit(): data -> docids -> manifest LAST.
+        Each write replaces only this sid's partition (idempotent retry);
+        the manifest append makes the snapshot visible. The manifest is
+        computed from a read-back of the just-written data partition
+        (snapshot_id partition pruning — never a scan of prior
+        snapshots), mirroring the directory leg's written-files stats."""
+        t0 = time.perf_counter()
+        data = extracted.withColumn("snapshot_id", F.lit(sid))
+        self._write_snapshot_table(data, self.catalog_table, sid)
+        written = self._io.read(self.catalog_table).filter(F.col("snapshot_id") == sid)
+        self._write_snapshot_table(
+            written.select("doc_id", "snapshot_id"), f"{self.catalog_table}_docids", sid
+        )
+        wall = time.perf_counter() - t0
+        manifest = (
+            partition_manifest(written.drop("snapshot_id"))
+            .withColumn("wall_time_sec", F.lit(round(wall, 3)))
+            .withColumn("snapshot_id", F.lit(sid))
+        )
+        self._write_snapshot_table(manifest, f"{self.catalog_table}_manifest", sid)
+        return {"snapshot_id": sid, "partitions": self._manifest_stats_catalog(sid)}
+
+    # ---------------------------------------------------------------------
 
     def processed_doc_ids(self) -> DataFrame | None:
         """Union of doc_ids across committed snapshots (read from the
         small manifest side, not the data: at 10^12 docs the manifest
         carries ranges; here doc granularity keeps tests exact)."""
+        if self.catalog_table is not None:
+            sids = self._committed_sids_catalog()
+            if not sids:
+                return None
+            return (
+                self._io.read(f"{self.catalog_table}_docids")
+                .filter(F.col("snapshot_id").isin(sids))
+                .select("doc_id")
+                .distinct()
+            )
         snaps = committed_snapshots(self.root)
         if not snaps:
             return None
@@ -166,9 +247,17 @@ class SnapshotWriter:
         exactly-once semantics for replayed micro-batch epochs; writing
         over a visible snapshot's files would break immutability (the
         marker would remain while the data dir is half-rewritten)."""
-        sid = snapshot_id or f"s{len(committed_snapshots(self.root)):06d}"
         if self.catalog_table is not None:
+            sids = self._committed_sids_catalog()
+            sid = snapshot_id or f"s{len(sids):06d}"
+            if sid in sids:  # replayed epoch: exactly-once no-op
+                return {
+                    "snapshot_id": sid,
+                    "partitions": self._manifest_stats_catalog(sid),
+                    "replayed": True,
+                }
             return self._commit_iceberg(extracted, sid)
+        sid = snapshot_id or f"s{len(committed_snapshots(self.root)):06d}"
         if os.path.exists(os.path.join(self.root, "_commits", sid)):
             existing = self.spark.read.parquet(
                 os.path.join(self.root, "manifest", f"snapshot={sid}")
@@ -210,6 +299,15 @@ class SnapshotWriter:
         return {"snapshot_id": sid, "partitions": stats}
 
     def read_committed(self) -> DataFrame | None:
+        if self.catalog_table is not None:
+            sids = self._committed_sids_catalog()
+            if not sids:
+                return None
+            return (
+                self._io.read(self.catalog_table)
+                .filter(F.col("snapshot_id").isin(sids))
+                .drop("snapshot_id")
+            )
         snaps = committed_snapshots(self.root)
         paths = [
             os.path.join(self.root, "data", f"snapshot={s}")
@@ -221,6 +319,13 @@ class SnapshotWriter:
         return self.spark.read.parquet(*paths)
 
     def read_manifest(self) -> DataFrame | None:
+        if self.catalog_table is not None:
+            sids = self._committed_sids_catalog()
+            if not sids:
+                return None
+            return self._io.read(f"{self.catalog_table}_manifest").filter(
+                F.col("snapshot_id").isin(sids)
+            )
         snaps = committed_snapshots(self.root)
         paths = [
             os.path.join(self.root, "manifest", f"snapshot={s}")

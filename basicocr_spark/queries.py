@@ -785,7 +785,11 @@ def docs_jaccard_pairs(spark, sf_dir):
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
-        .filter(F.col("jaccard") >= 0.8)
+        # exact integer threshold (5*inter >= 4*union), matching the
+        # prefix filter's exact-J guarantee — a round()-based filter
+        # would admit J in [0.7999995, 0.8) pairs the candidate
+        # generator correctly prunes
+        .filter(inter * 5 >= union * 4)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -806,7 +810,7 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.8
+WHERE common * 5 >= (sa.sz + sb.sz - common) * 4
 """
 
 
@@ -1966,6 +1970,68 @@ def _duck_clusters_sql() -> str:
     inner = _duck_minhash_sql().strip()
     # embed the minhash pair query as the seed CTE body
     return DOCS_CLUSTERS_SQL_TEMPLATE.format(pairs_sql=inner)
+
+
+def events_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark has no native form of (time-series
+    attribution: each purchase picks up the most recent prior click of
+    the same user). Implemented scale-correctly as union + running
+    last_value(ignore nulls) over ONE (user_id, ts, event_id)-ordered
+    window — a single shuffle on user_id, no range-expanded join, no
+    per-user collect. The prior-or-equal contract is lexicographic on
+    (ts, event_id); purchases with no prior click keep nulls. The
+    oracle runs the identical window formulation, so the comparison
+    pins the as-of semantics cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(is_click, F.col("event_id")).alias("c_id"),
+        F.when(is_click, F.col("value")).alias("c_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.last("c_id", ignorenulls=True).over(w).alias("last_click_id"),
+            F.last("c_val", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "last_click_id", "last_click_value")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH tagged AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN value END AS c_val
+  FROM events WHERE event_type IN ('click', 'purchase')
+), run AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(c_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+         last_value(c_val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+  FROM tagged
+)
+SELECT event_id, user_id, ts, value, last_click_id, last_click_value
+FROM run WHERE event_type = 'purchase'
+"""
 
 
 def docs_split_sample(spark, sf_dir):

@@ -145,3 +145,116 @@ def test_iceberg_flag_raises_clearly_without_jars(spark, tmp_path):
         SnapshotWriter(spark, str(tmp_path / "root"), catalog_table="cat.db.extracted")
     # default construction is unaffected by the flag's existence
     assert SnapshotWriter(spark, str(tmp_path / "root")).catalog_table is None
+
+
+class _FakeCatalogIO:
+    """In-memory stand-in for _CatalogIO: stores each table as collected
+    rows + schema, records write calls in order, and can inject a crash
+    after the Nth write — lets the commit protocol (manifest-last
+    visibility, idempotent retry, resume filtering) run without an
+    Iceberg runtime."""
+
+    def __init__(self, spark, fail_after_writes=None):
+        self.spark = spark
+        self.tables = {}
+        self.writes = []
+        self.fail_after_writes = fail_after_writes
+
+    def _store(self, df, name, replace_sid=None):
+        if self.fail_after_writes is not None and len(self.writes) >= self.fail_after_writes:
+            raise RuntimeError("injected catalog outage")
+        rows = df.collect()
+        schema = df.schema
+        if replace_sid is None:
+            self.tables[name] = (schema, list(rows))
+        else:
+            old_schema, old_rows = self.tables[name]
+            kept = [r for r in old_rows if r["snapshot_id"] != replace_sid]
+            self.tables[name] = (old_schema, kept + list(rows))
+        self.writes.append((("create" if replace_sid is None else "overwrite"), name))
+
+    def exists(self, name):
+        return name in self.tables
+
+    def read(self, name):
+        schema, rows = self.tables[name]
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def create_partitioned(self, df, name):
+        self._store(df, name)
+
+    def overwrite_snapshot(self, df, name, sid):
+        self._store(df, name, replace_sid=sid)
+
+
+def _mk_writer_catalog(spark, io):
+    from basicocr_spark.plans.checkpoint import SnapshotWriter
+
+    return SnapshotWriter(spark, root="/nonexistent", catalog_table="cat.db.ext", catalog_io=io)
+
+
+def _batch(spark, ids):
+    from basicocr_spark import schemas as S
+
+    return spark.createDataFrame(
+        [(str(d), [("text", f"body {d}", None, 1)]) for d in ids], schema=S.DOCUMENTS
+    )
+
+
+def test_catalog_commit_protocol_manifest_last_and_distinct_sids(spark):
+    io = _FakeCatalogIO(spark)
+    w = _mk_writer_catalog(spark, io)
+    s1 = w.commit(_batch(spark, [1, 2, 3]))
+    s2 = w.commit(_batch(spark, [4, 5]))
+    # auto sids advance (manifest-derived, not directory-derived)
+    assert (s1["snapshot_id"], s2["snapshot_id"]) == ("s000000", "s000001")
+    # per-commit write order: data, docids, manifest LAST (visibility point)
+    names = [n for _, n in io.writes]
+    assert names[:3] == ["cat.db.ext", "cat.db.ext_docids", "cat.db.ext_manifest"]
+    assert names[3:6] == ["cat.db.ext", "cat.db.ext_docids", "cat.db.ext_manifest"]
+    got = {r["doc_id"] for r in w.read_committed().collect()}
+    assert got == {"1", "2", "3", "4", "5"}
+    assert w.read_manifest().count() >= 2
+
+
+def test_catalog_replayed_sid_is_noop(spark):
+    io = _FakeCatalogIO(spark)
+    w = _mk_writer_catalog(spark, io)
+    first = w.commit(_batch(spark, [1, 2]), snapshot_id="e7")
+    n_writes = len(io.writes)
+    again = w.commit(_batch(spark, [1, 2]), snapshot_id="e7")
+    assert again["replayed"] is True
+    assert again["partitions"] == first["partitions"]
+    assert len(io.writes) == n_writes  # zero new writes
+    assert w.read_committed().count() == 2  # no duplicates
+
+
+def test_catalog_crash_before_manifest_stays_invisible_and_retry_is_exact(spark):
+    # crash after data+docids writes, BEFORE the manifest (write #3)
+    io = _FakeCatalogIO(spark, fail_after_writes=2)
+    w = _mk_writer_catalog(spark, io)
+    try:
+        w.commit(_batch(spark, [7, 8]), snapshot_id="sX")
+        raise AssertionError("expected injected outage")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    # orphan data rows exist but the snapshot is NOT visible anywhere
+    assert w.read_committed() is None
+    assert w.processed_doc_ids() is None
+    assert w.pending(_batch(spark, [7, 8])).count() == 2  # resume redoes the batch
+    # retry overwrites the orphan partition — no duplicate rows
+    io.fail_after_writes = None
+    w.commit(_batch(spark, [7, 8]), snapshot_id="sX")
+    assert [r["doc_id"] for r in w.read_committed().orderBy("doc_id").collect()] == ["7", "8"]
+    assert w.pending(_batch(spark, [7, 8, 9])).count() == 1
+
+
+def test_catalog_guard_requires_configured_catalog(spark, tmp_path):
+    """Even if the jar were present, an unconfigured catalog name must
+    fail at construction (the session has no spark.sql.catalog.cat)."""
+    import pytest
+
+    from basicocr_spark.plans.checkpoint import SnapshotWriter
+
+    with pytest.raises(RuntimeError, match="directory snapshot model"):
+        SnapshotWriter(spark, str(tmp_path), catalog_table="cat.db.ext")

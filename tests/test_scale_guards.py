@@ -165,8 +165,8 @@ def test_jaccard_prefix_result_equals_naive(spark, tmp_path):
     for ai in range(len(ids)):
         for bi in range(ai + 1, len(ids)):
             a, b = ids[ai], ids[bi]
-            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
-            if round(j, 6) >= 0.8:
-                want[(a, b)] = round(j, 6)
+            inter, union = len(sets[a] & sets[b]), len(sets[a] | sets[b])
+            if inter * 5 >= union * 4:  # exact J >= 0.8, same as the query
+                want[(a, b)] = round(inter / union, 6)
     assert got == want
     assert (0, 1) in got and (0, 4) in got and (0, 2) in got and (0, 3) not in got
