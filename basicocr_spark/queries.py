@@ -665,8 +665,12 @@ def docs_ngram_counts(spark, sf_dir):
     Spark's partial (map-side combine) + final hash aggregate is exactly
     the batch/merge split the reference describes. 2-grams and 3-grams
     in one pass; docs shorter than n tokens contribute nothing at that
-    n; deterministic top-40 per n."""
-    d = _t(spark, sf_dir, "documents")
+    n; deterministic top-40 per n. _t_wide: the gram expressions are
+    compute-heavy per row and the sandbox table is one row group — at
+    production scale the scan splits by itself and the repartition
+    disappears (measured 4x at sf0.1: the single-partition scan
+    serialized the whole explode onto one core)."""
+    d = _t_wide(spark, sf_dir, "documents")
 
     def _grams(n: int):
         toks = TS.tokens(F.col("text"))

@@ -177,3 +177,31 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def deduped_doc_stream(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of docs_dedup_exact:
+    fingerprint each document's flattened text content (same polynomial
+    hash as the batch dedup family) and drop duplicate fingerprints via
+    dropDuplicatesWithinWatermark, so state for a fingerprint is held
+    only one watermark interval instead of forever (unbounded
+    dropDuplicates state is the classic streaming-dedup OOM at crawl
+    scale — a 10^12-doc crawl revisits pages for days, not forever).
+    Input: interleaved (doc_id, spans, event_ts) stream; event_ts must
+    be the ingestion event time for watermark semantics."""
+    from ..functions.textstats import char_poly_hash
+
+    content = F.array_join(
+        F.transform(F.col("spans"), lambda s: F.coalesce(s["text"], s["media_ref"])),
+        "\x1f",
+    )
+    fp = docs_stream.withColumn("event_ts", F.col("event_ts").cast("timestamp")).withColumn(
+        fingerprint_col, char_poly_hash(content)
+    )
+    return fp.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        [fingerprint_col]
+    )

@@ -77,3 +77,48 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_streaming_dedup_drops_exact_duplicates(spark, tmp_path):
+    """deduped_doc_stream must keep one doc per identical content
+    fingerprint across microbatches, bounded-state via the watermark."""
+    import os
+    import shutil
+
+    from basicocr_spark.streaming.pipeline import deduped_doc_stream
+
+    rows = [
+        ("a", [("text", "same body", None, 1)], "2024-01-01 00:00:01"),
+        ("b", [("text", "same body", None, 1)], "2024-01-01 00:00:02"),  # dup of a
+        ("c", [("text", "other body", None, 1)], "2024-01-01 00:00:03"),
+        ("d", [("media", None, "m01", 1)], "2024-01-01 00:00:04"),
+        ("e", [("media", None, "m01", 1)], "2024-01-01 00:00:05"),  # dup of d
+    ]
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "event_ts string"
+    )
+    batch = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d, exist_ok=True)
+    batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = deduped_doc_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
+    # one survivor per fingerprint group: {a,b} -> one, {c}, {d,e} -> one
+    assert len(kept) == 3
+    assert "c" in kept
+    assert len(kept & {"a", "b"}) == 1
+    assert len(kept & {"d", "e"}) == 1
