@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": Q.emb_ann_lsh,
         "emb_label_centroids": Q.emb_label_centroids,
         "emb_ivf_topk": Q.emb_ivf_topk,
+        "emb_ivf_multiprobe": Q.emb_ivf_multiprobe,
         "emb_near_dup_cosine": Q.emb_near_dup_cosine,
         "docs_filter_summary": Q.docs_filter_summary,
         "docs_dup_clusters": Q.docs_dup_clusters,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh": Q._duck_ann_sql(),
         "emb_label_centroids": Q.EMB_CENTROIDS_SQL,
         "emb_ivf_topk": Q._duck_ivf_sql(),
+        "emb_ivf_multiprobe": Q._duck_ivf_sql(nprobe=2),
         "emb_near_dup_cosine": Q._duck_emb_near_dup_sql(),
         "docs_filter_summary": Q.DOCS_FILTER_SQL,
         "docs_dup_clusters": Q._duck_clusters_sql(),

@@ -1762,6 +1762,18 @@ def emb_ivf_topk(spark, sf_dir):
     broadcast argmin over ~k centroids, the fine search touches 1/k of
     the corpus per probe. Returns top-2 per probe with exact rounded
     cosine + the searched cell."""
+    return _ivf_topk_impl(spark, sf_dir, nprobe=1)
+
+
+def emb_ivf_multiprobe(spark, sf_dir):
+    """IVF with nprobe=2 — the recall knob: each probe searches its TWO
+    nearest cells (candidates 2/k of the corpus), recovering neighbors
+    that fell just across a cell boundary. Same broadcast-assign +
+    cell-equi-join shape; only the per-probe cell fan-out changes."""
+    return _ivf_topk_impl(spark, sf_dir, nprobe=2)
+
+
+def _ivf_topk_impl(spark, sf_dir, nprobe: int):
     e = _t(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("dim", "v")
@@ -1785,7 +1797,7 @@ def emb_ivf_topk(spark, sf_dir):
     w_cell = Window.partitionBy("q_id").orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
     assigned = (
         assigned_scores.withColumn("rk", F.row_number().over(w_cell))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= nprobe)
         .select("q_id", "q_emb", "cell")
     )
     cand = e.join(
@@ -1803,7 +1815,7 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
-def _duck_ivf_sql() -> str:
+def _duck_ivf_sql(nprobe: int = 1) -> str:
     cos = lambda a, b: (
         f"coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (p, q) -> p + q) "
@@ -1830,7 +1842,7 @@ WITH flat AS (
   SELECT q_id, q_emb, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, cell ASC) AS rk
     FROM cell_scores
-  ) WHERE rk = 1
+  ) WHERE rk <= {nprobe}
 ), scored AS (
   SELECT a.q_id, e.vec_id, a.cell, {cos("a.q_emb", "e.embedding")} AS cos
   FROM embeddings e JOIN assigned a ON e.label = a.cell AND e.vec_id != a.q_id

@@ -107,3 +107,33 @@ def test_reading_order_is_permutation_invariant(runs):
     _random.Random(7).shuffle(shuffled)
     # same multiset of runs -> same reading order, regardless of stream order
     assert P.reading_order_text(blocks) == P.reading_order_text(shuffled)
+
+
+# Mixed latin/CJK text for the segmenter parity property. \x0b excluded:
+# Python/Java class \s includes vertical tab, RE2's does not — a known
+# cross-engine divergence the corpora never exercise.
+cjk_mixed_text = st.text(
+    alphabet=list("abc xy\t\n.,!") + list("一中文大数据表格处理"),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(st.lists(cjk_mixed_text, min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_cjk_tokens_match_duckdb(texts):
+    """The Python CJK segmenter (what the Arrow kernels tokenize with)
+    must equal the DuckDB oracle expression on arbitrary mixed text —
+    the cross-engine seam every CJK query's green row depends on."""
+    import duckdb
+
+    from basicocr_spark.functions.hash_kernels import _cjk_tokens
+    from basicocr_spark.queries import _duck_cjk_tokens_expr
+
+    con = duckdb.connect()
+    expr = _duck_cjk_tokens_expr("text")
+    for t in texts:
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        assert _cjk_tokens(t) == list(want), repr(t)
