@@ -53,6 +53,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def next_free_sid(committed: list[str]) -> str:
+    """First auto snapshot id not already committed. len() alone is not
+    enough: explicit snapshot_ids (micro-batch epochs) interleaving with
+    auto-generated ones can make s{len} collide with a committed sid,
+    and a collision reads as a replayed epoch — the new batch would be
+    silently discarded."""
+    taken = set(committed)
+    n = len(taken)
+    while f"s{n:06d}" in taken:
+        n += 1
+    return f"s{n:06d}"
+
+
 def committed_snapshots(root: str) -> list[str]:
     # a crash between the tmp write and os.rename leaves "<sid>.tmp" in
     # _commits — an UNcommitted attempt that must not read as a snapshot
@@ -139,7 +152,15 @@ class SnapshotWriter:
         self.root = root
         self.catalog_table = catalog_table
         if catalog_table is not None and catalog_io is None:
-            catalog_name = catalog_table.split(".")[0]
+            # a 3-part name's first segment is the catalog; 1/2-part
+            # names resolve against the session catalog (the standard
+            # Iceberg SparkSessionCatalog setup configures
+            # spark.sql.catalog.spark_catalog)
+            catalog_name = (
+                catalog_table.split(".")[0]
+                if catalog_table.count(".") >= 2
+                else "spark_catalog"
+            )
             configured = (
                 spark.conf.get(f"spark.sql.catalog.{catalog_name}", None) is not None
             )
@@ -249,7 +270,7 @@ class SnapshotWriter:
         marker would remain while the data dir is half-rewritten)."""
         if self.catalog_table is not None:
             sids = self._committed_sids_catalog()
-            sid = snapshot_id or f"s{len(sids):06d}"
+            sid = snapshot_id or next_free_sid(sids)
             if sid in sids:  # replayed epoch: exactly-once no-op
                 return {
                     "snapshot_id": sid,
@@ -257,7 +278,7 @@ class SnapshotWriter:
                     "replayed": True,
                 }
             return self._commit_iceberg(extracted, sid)
-        sid = snapshot_id or f"s{len(committed_snapshots(self.root)):06d}"
+        sid = snapshot_id or next_free_sid(committed_snapshots(self.root))
         if os.path.exists(os.path.join(self.root, "_commits", sid)):
             existing = self.spark.read.parquet(
                 os.path.join(self.root, "manifest", f"snapshot={sid}")

@@ -2009,9 +2009,11 @@ def events_asof_join(spark, sf_dir):
         F.when(is_click, F.col("event_id")).alias("c_id"),
         F.when(is_click, F.col("value")).alias("c_val"),
     )
+    # explicit nulls-last: Spark default-sorts nulls FIRST, DuckDB LAST —
+    # a null ts would change which click is "prior" between engines
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -184,24 +184,33 @@ def deduped_doc_stream(
     watermark: str = "1 hour",
     fingerprint_col: str = "fingerprint",
 ) -> DataFrame:
-    """Streaming exact dedup — the incremental twin of docs_dedup_exact:
-    fingerprint each document's flattened text content (same polynomial
-    hash as the batch dedup family) and drop duplicate fingerprints via
-    dropDuplicatesWithinWatermark, so state for a fingerprint is held
-    only one watermark interval instead of forever (unbounded
-    dropDuplicates state is the classic streaming-dedup OOM at crawl
-    scale — a 10^12-doc crawl revisits pages for days, not forever).
-    Input: interleaved (doc_id, spans, event_ts) stream; event_ts must
-    be the ingestion event time for watermark semantics."""
+    """Streaming dedup — the incremental sibling of docs_dedup_exact:
+    fingerprint each document's canonical span content and drop
+    duplicate fingerprints via dropDuplicatesWithinWatermark, so state
+    for a fingerprint is held only one watermark interval instead of
+    forever (unbounded dropDuplicates state is the classic
+    streaming-dedup OOM at crawl scale — a 10^12-doc crawl revisits
+    pages for days, not forever).
+
+    Content canonicalization is to_json(spans): kind/text/media_ref all
+    participate with JSON escaping, so a text span 'm01' can never
+    collide with a media span referencing m01, null fields are encoded
+    (not silently skipped), and no in-band separator can be injected by
+    document content. The dedup key pairs a 64-bit xxhash with the
+    dedup family's polynomial hash (~2^94 joint space; collision odds
+    are negligible at crawl scale, unlike a single 2^30 poly hash) —
+    engine-specific hashes are fine here because streaming has no
+    DuckDB oracle leg. Input: interleaved (doc_id, spans, event_ts)
+    stream; event_ts must be the ingestion event time for watermark
+    semantics."""
     from ..functions.textstats import char_poly_hash
 
-    content = F.array_join(
-        F.transform(F.col("spans"), lambda s: F.coalesce(s["text"], s["media_ref"])),
-        "\x1f",
-    )
-    fp = docs_stream.withColumn("event_ts", F.col("event_ts").cast("timestamp")).withColumn(
-        fingerprint_col, char_poly_hash(content)
+    content = F.to_json(F.col("spans"))
+    fp = (
+        docs_stream.withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .withColumn(fingerprint_col, char_poly_hash(content))
+        .withColumn("fingerprint_xx", F.xxhash64(content))
     )
     return fp.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
-        [fingerprint_col]
+        [fingerprint_col, "fingerprint_xx"]
     )

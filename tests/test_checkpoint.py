@@ -258,3 +258,25 @@ def test_catalog_guard_requires_configured_catalog(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="directory snapshot model"):
         SnapshotWriter(spark, str(tmp_path), catalog_table="cat.db.ext")
+
+
+def test_auto_sid_skips_explicitly_committed_ids(spark, tmp_path):
+    """Auto sid generation must not collide with a previously committed
+    EXPLICIT snapshot_id — a collision reads as a replayed epoch and
+    silently drops the new batch. Both legs."""
+    from basicocr_spark.plans.checkpoint import SnapshotWriter
+
+    # directory leg
+    w = SnapshotWriter(spark, str(tmp_path / "root"))
+    w.commit(_batch(spark, [1]), snapshot_id="s000000")
+    out = w.commit(_batch(spark, [2]))  # auto: must pick s000001, not replay
+    assert out["snapshot_id"] == "s000001" and "replayed" not in out
+    assert {r["doc_id"] for r in w.read_committed().collect()} == {"1", "2"}
+
+    # catalog leg
+    io = _FakeCatalogIO(spark)
+    wc = _mk_writer_catalog(spark, io)
+    wc.commit(_batch(spark, [1]), snapshot_id="s000000")
+    out = wc.commit(_batch(spark, [2]))
+    assert out["snapshot_id"] == "s000001" and "replayed" not in out
+    assert {r["doc_id"] for r in wc.read_committed().collect()} == {"1", "2"}

@@ -122,3 +122,40 @@ def test_streaming_dedup_drops_exact_duplicates(spark, tmp_path):
     assert "c" in kept
     assert len(kept & {"a", "b"}) == 1
     assert len(kept & {"d", "e"}) == 1
+
+
+def test_streaming_dedup_kind_participates_in_fingerprint(spark, tmp_path):
+    """A text span whose content equals a media span's ref must NOT
+    collide: canonicalization covers kind and null fields, not just a
+    flattened text join."""
+    import os
+
+    from basicocr_spark.streaming.pipeline import deduped_doc_stream
+
+    rows = [
+        ("t", [("text", "m01", None, 1)], "2024-01-01 00:00:01"),
+        ("m", [("media", None, "m01", 1)], "2024-01-01 00:00:02"),
+        ("n", [("text", None, None, 1), ("text", "a", None, 2)], "2024-01-01 00:00:03"),
+        ("o", [("text", "a", None, 1)], "2024-01-01 00:00:04"),
+    ]
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "event_ts string"
+    )
+    batch = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "docs_stream2")
+    os.makedirs(d, exist_ok=True)
+    batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        deduped_doc_stream(stream).writeStream.outputMode("append")
+        .format("memory").queryName("dedup_kinds")
+        .option("checkpointLocation", str(tmp_path / "ck2")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_kinds").collect()}
+    assert kept == {"t", "m", "n", "o"}  # all four are distinct documents
