@@ -43,10 +43,11 @@ def run(
     batch_size: int = 100_000,
     max_spans: int = 64,
     n_partitions: int | None = None,
+    catalog_table: str | None = None,
 ) -> dict:
     n_parts = n_partitions or spark.sparkContext.defaultParallelism * 2
     docs = spark.read.schema(S.DOCUMENTS).parquet(input_dir)
-    writer = SnapshotWriter(spark, output_root)
+    writer = SnapshotWriter(spark, output_root, catalog_table=catalog_table)
     pending = writer.pending(docs).repartitionByRange(n_parts, "doc_id")
 
     # recognition + dictionary sides (fixture-driven in this build; a real
@@ -89,6 +90,14 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--batch-size", type=int, default=100_000)
     ap.add_argument("--max-spans", type=int, default=64)
+    ap.add_argument(
+        "--catalog-table",
+        default=None,
+        help="Iceberg table name (e.g. cat.db.extracted): snapshots commit "
+        "via writeTo() to <name>/<name>_docids/<name>_manifest instead of "
+        "the --output directory model (requires the Iceberg runtime + "
+        "configured catalog; fails fast at startup otherwise)",
+    )
     args = ap.parse_args()
     spark = (
         SparkSession.builder.appName("basicocr_extraction")
@@ -99,7 +108,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
     try:
-        stats = run(spark, args.input, args.output, args.batch_size, args.max_spans)
+        stats = run(
+            spark,
+            args.input,
+            args.output,
+            args.batch_size,
+            args.max_spans,
+            catalog_table=args.catalog_table,
+        )
         print(json.dumps(stats))
     finally:
         spark.stop()
