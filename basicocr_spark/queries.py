@@ -1988,6 +1988,65 @@ def _duck_clusters_sql() -> str:
     return DOCS_CLUSTERS_SQL_TEMPLATE.format(pairs_sql=inner)
 
 
+# PII fixtures: deterministic literal replacements lift corpus phrases
+# into PII-bearing text (emails / phone-shaped digit runs), same
+# engine-pairable technique as CJK_REPLACEMENTS. Patterns stay in the
+# RE2-and-Java-common regex subset (ASCII \w, \b, \d — no lookaround).
+PII_REPLACEMENTS = [
+    ("big table", "contact alice.smith@example.com today"),
+    ("fast row", "call 555-0142 now"),
+    ("slow query", "email bob_jones@mail.example.org or dial 555-0199"),
+]
+PII_EMAIL_RE = r"\b[\w.]+@[\w.]+\.[A-Za-z]{2,}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_text_col():
+    c = F.col("text")
+    for pat, rep in PII_REPLACEMENTS:
+        c = F.replace(c, F.lit(pat), F.lit(rep))
+    return c
+
+
+def docs_pii_scrub(spark, sf_dir):
+    """PII scrubbing — a first-class training-data pipeline operator:
+    redact emails and phone-shaped digit runs with typed placeholders,
+    emitting per-doc redaction counts + cleaned length. Pure
+    regexp_count/regexp_replace column math (whole-stage codegen, zero
+    shuffle beyond the scan — a pure map at 100 TB). The corpus is
+    lifted into PII-bearing text deterministically so both engines
+    scrub the identical input."""
+    d = _t(spark, sf_dir, "documents")
+    txt = _pii_text_col()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(txt, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+    )
+
+
+def _duck_pii_sql() -> str:
+    txt = "text"
+    for pat, rep in PII_REPLACEMENTS:
+        txt = f"replace({txt}, '{pat}', '{rep}')"
+    # DuckDB string literals keep backslashes literally — the raw
+    # patterns drop straight in; regexp_replace needs the 'g' flag
+    email, phone = PII_EMAIL_RE, PII_PHONE_RE
+    return f"""
+WITH lifted AS (SELECT doc_id, {txt} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                                  '{phone}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+FROM lifted
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join — an operator Spark has no native form of (time-series
     attribution: each purchase picks up the most recent prior click of
