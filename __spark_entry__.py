@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
         "docs_near_dup_verified": Q.docs_near_dup_verified,
         "docs_simhash": Q.docs_simhash,
+        "docs_simhash_near_dup": Q.docs_simhash_near_dup,
         # similarity search over embeddings
         "emb_norms": Q.emb_norms,
         "emb_cosine_topk": Q.emb_cosine_topk,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_lsh_pairs": Q._duck_minhash_sql(),
         "docs_near_dup_verified": Q._duck_near_dup_sql(),
         "docs_simhash": Q._duck_simhash_sql(),
+        "docs_simhash_near_dup": Q._duck_simhash_near_dup_sql(),
         "emb_norms": Q.EMB_NORMS_SQL,
         "emb_cosine_topk": Q.EMB_TOPK_SQL,
         "emb_ann_lsh": Q._duck_ann_sql(),

@@ -1070,6 +1070,66 @@ SELECT doc_id, {" + ".join(bits)} AS simhash FROM whs
 """
 
 
+def docs_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-ball near-dup pairs — completes the simhash
+    story (docs_simhash only computes the hashes): band the 32-bit
+    simhash into 4 bytes; by pigeonhole any pair within hamming
+    distance 3 shares at least one intact byte, so the byte-band bucket
+    equi-join is an EXACT candidate generator for the <=3 ball; verify
+    bit_count(xor) <= 3 on candidates only. Same shuffle shape as the
+    minhash LSH (one bucket join); byte bands are coarse 1/256
+    partitions by design, so like the hyperplane buckets they pass
+    cap=None."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sims = HK.simhash_df(d).localCheckpoint()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sims.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    )
+    cands = _bucket_pair_join(banded, "doc_id", "doc_a", "doc_b")
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _duck_simhash_near_dup_sql() -> str:
+    inner = _duck_simhash_sql().strip()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {8 * b}) & 255 AS sig FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS ({inner}),
+banded AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cands c
+JOIN sims sa ON sa.doc_id = c.doc_a
+JOIN sims sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 # ===========================================================================
 # Embeddings: similarity search
 # ===========================================================================

@@ -23,6 +23,15 @@ ADV_DOCS = [
     (3, "\tTabbed Start then words", "en"),
     (4, "UPPER Case Tokens And ｆｕｌｌｗｉｄｔｈ", "en"),
     (5, "repeat repeat plain words here", "en"),
+    # CJK edges: pure no-space CJK, single hanzi, embedded runs, and the
+    # phrase-replacement trigger "big table" (becomes a real CJK run)
+    (6, "中文文本没有空格的长句子", "zh"),
+    (7, "单", "zh"),
+    (8, "abc中文def big table mixed", "zh"),
+    # PII edges: pre-existing email/phone shapes, boundary punctuation,
+    # and the replacement trigger phrases
+    (9, "reach x@y.io, or 555-1234. fast row end", "en"),
+    (10, "not-an-email @ nor 12-34 slow query", "en"),
 ]
 
 ADV_EMB = [
@@ -36,6 +45,7 @@ ADV_EMB = [
 DOC_QUERIES = [
     "docs_token_stats",
     "docs_word_freq",
+    "docs_word_freq_cjk",
     "docs_quality_scores",
     "docs_split_sample",
     "docs_filter_summary",
@@ -43,6 +53,11 @@ DOC_QUERIES = [
     "docs_fingerprint",
     "docs_token_correction",
     "docs_jaccard_pairs",
+    "docs_ngram_counts",
+    "docs_pii_scrub",
+    "docs_strip_large_dict",
+    "docs_minhash_lsh_pairs_cjk",
+    "docs_simhash_near_dup",
 ]
 EMB_QUERIES = ["emb_norms", "emb_cosine_topk", "emb_near_dup_cosine"]
 

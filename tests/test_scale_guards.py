@@ -170,3 +170,30 @@ def test_jaccard_prefix_result_equals_naive(spark, tmp_path):
                 want[(a, b)] = round(inter / union, 6)
     assert got == want
     assert (0, 1) in got and (0, 4) in got and (0, 2) in got and (0, 3) not in got
+
+
+def test_simhash_near_dup_bands_are_exact_for_ball_3(spark):
+    """4 byte-bands over 32 bits: any pair at hamming distance <= 3
+    shares an intact byte (pigeonhole), so the banded candidate join
+    must recover EXACTLY the brute-force <=3 ball."""
+    from itertools import combinations
+
+    from basicocr_spark.functions import hash_kernels as HK
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in Q.docs_simhash_near_dup(spark, sf).collect()
+    }
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in HK.simhash_df(
+            spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        ).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
