@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": Q.docs_dup_clusters,
         "docs_split_sample": Q.docs_split_sample,
         "docs_pii_scrub": Q.docs_pii_scrub,
+        "docs_dedup_keep_best": Q.docs_dedup_keep_best,
         # extraction operators (reference-oracle constants)
         "ctc_decode": FQ.ctc_decode_fixture,
         "correction": FQ.correction_fixture,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": Q._duck_clusters_sql(),
         "docs_split_sample": Q.DOCS_SPLIT_SQL,
         "docs_pii_scrub": Q._duck_pii_sql(),
+        "docs_dedup_keep_best": Q._duck_dedup_keep_best_sql(),
         "ctc_decode": FQ.ctc_decode_oracle_sql(),
         "correction": FQ.correction_oracle_sql(),
         "boilerplate": FQ.boilerplate_oracle_sql(),

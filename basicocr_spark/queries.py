@@ -2171,6 +2171,39 @@ FROM run WHERE event_type = 'purchase'
 """
 
 
+def docs_dedup_keep_best(spark, sf_dir):
+    """The dedup DECISION table — the composition an LLM-data pipeline
+    actually ships: near-dup clusters (MinHash-LSH -> connected
+    components) joined with quality scores; per cluster exactly one
+    member is kept (quality desc, doc_id asc tie-break). Downstream the
+    corpus scan anti-joins keep=false. One extra shuffle over the
+    cluster table (bounded by n_docs), the per-cluster window is
+    dup-group-sized."""
+    clusters = docs_dup_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return joined.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "cluster_rep", "quality", (F.col("rk") == 1).alias("keep")
+    )
+
+
+def _duck_dedup_keep_best_sql() -> str:
+    clusters = _duck_clusters_sql().strip()
+    quality = DOCS_QUALITY_SQL.strip()
+    return f"""
+WITH clusters AS ({clusters}),
+quality AS ({quality})
+SELECT c.doc_id, c.cluster_rep, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_rep
+                           ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+"""
+
+
 def docs_split_sample(spark, sf_dir):
     """W7-analog deterministic sampler: hash-free modular split of the
     corpus into train/val/test (98/1/1-style buckets scaled down) — the
