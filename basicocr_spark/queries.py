@@ -1082,6 +1082,16 @@ def docs_simhash_near_dup(spark, sf_dir):
     cap=None."""
     d = _t_wide(spark, sf_dir, "documents")
     sims = HK.simhash_df(d).localCheckpoint()
+    # clone-class collapse: the band self-join runs over DISTINCT
+    # simhash VALUES, so a flood of identical documents is one row in
+    # the join (the unguarded doc-level join would put the whole flood
+    # in one bucket in all 4 bands — the O(n^2) single-reducer case
+    # LSH_BUCKET_CAP exists for, which can't be star-capped here
+    # because byte bands hold many DIFFERENT hashes whose real <=3
+    # pairs a star would drop). Member-pair expansion below is
+    # output-sized — unavoidable for a pair-list result; a production
+    # flood consumes the cluster table (docs_dup_clusters) instead.
+    classes = sims.select("simhash").distinct().localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -1091,20 +1101,37 @@ def docs_simhash_near_dup(spark, sf_dir):
             for b in range(4)
         ]
     )
-    banded = sims.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    banded = classes.select("simhash", F.explode(bands).alias("bb")).select(
+        "simhash", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
     )
-    cands = _bucket_pair_join(banded, "doc_id", "doc_a", "doc_b")
-    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+    hpairs = _bucket_pair_join(banded, "simhash", "sh_a", "sh_b").withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    ).filter(F.col("hamming") <= 3)
+    a = sims.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    b = sims.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    inter = (
+        hpairs.join(a, "sh_a")
+        .join(b, "sh_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
+    intra = (
+        sims.alias("x")
+        .join(
+            sims.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def _duck_simhash_near_dup_sql() -> str:
@@ -2078,13 +2105,17 @@ def docs_pii_scrub(spark, sf_dir):
     scrub the identical input."""
     d = _t(spark, sf_dir, "documents")
     txt = _pii_text_col()
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    after_email = F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    # phone count runs on the EMAIL-SCRUBBED text, matching what the
+    # sequential scrub actually replaces — counting on raw text
+    # overstates when a phone-shaped run overlaps an email match
+    # (e.g. '555-0142@example.com': the email eats '0142@...', no phone
+    # replacement happens)
     return d.select(
         "doc_id",
         F.regexp_count(txt, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(txt, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         F.length(scrubbed).cast("long").alias("clean_len"),
     )
 
@@ -2097,13 +2128,16 @@ def _duck_pii_sql() -> str:
     # patterns drop straight in; regexp_replace needs the 'g' flag
     email, phone = PII_EMAIL_RE, PII_PHONE_RE
     return f"""
-WITH lifted AS (SELECT doc_id, {txt} AS t FROM documents)
+WITH lifted AS (SELECT doc_id, {txt} AS t FROM documents),
+staged AS (
+  SELECT doc_id, t, regexp_replace(t, '{email}', '<EMAIL>', 'g') AS after_email
+  FROM lifted
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
-       CAST(length(regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
-                                  '{phone}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
-FROM lifted
+       CAST(len(regexp_extract_all(after_email, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(after_email, '{phone}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+FROM staged
 """
 
 

@@ -32,6 +32,9 @@ ADV_DOCS = [
     # and the replacement trigger phrases
     (9, "reach x@y.io, or 555-1234. fast row end", "en"),
     (10, "not-an-email @ nor 12-34 slow query", "en"),
+    # phone-shaped run overlapping an email match: the email eats
+    # '0142@...' so NO phone redaction happens — counts must agree
+    (11, "call 555-0142@example.com now", "en"),
 ]
 
 ADV_EMB = [
