@@ -133,6 +133,15 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
         # the headline total
         fixture_queries = ["ctc_decode", "extraction_e2e"]
         qmap = E.queries()
+        # one untimed warm-up through the codegen + Python-worker +
+        # window machinery: whichever query runs first otherwise pays
+        # ~10s of one-time session lazy initialization (measured — the
+        # same query is ~1.6s on its second session call), which would
+        # land on an arbitrary headliner's number instead of measuring
+        # its steady-state operator cost
+        qmap["docs_ngram_counts"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for name in headliners:
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
