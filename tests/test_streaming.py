@@ -159,3 +159,55 @@ def test_streaming_dedup_kind_participates_in_fingerprint(spark, tmp_path):
         q.stop()
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_kinds").collect()}
     assert kept == {"t", "m", "n", "o"}  # all four are distinct documents
+
+
+def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
+    """The bounded-state contract, both directions: a duplicate arriving
+    within the watermark interval is dropped; one arriving after the
+    fingerprint's state has expired is re-admitted (that eviction is
+    exactly what keeps state bounded at crawl scale — a batch dedup pass
+    downstream catches long-range duplicates)."""
+    import os
+    import time
+
+    from basicocr_spark.streaming.pipeline import deduped_doc_stream
+
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "event_ts string"
+    )
+    d = str(tmp_path / "docs_exp")
+    os.makedirs(d, exist_ok=True)
+    span = [("text", "same content", None, 1)]
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1: original at t0 + an in-window duplicate
+    write_batch("b1", [("orig", span, "2024-01-01 00:00:00"),
+                       ("dup_in_window", span, "2024-01-01 00:10:00")])
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        deduped_doc_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("dedup_exp")
+        .option("checkpointLocation", str(tmp_path / "ck_exp")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance event time far past the watermark so the
+        # fingerprint's state is evicted...
+        write_batch("b2", [("advancer", [("text", "different content", None, 1)],
+                            "2024-01-01 05:00:00")])
+        q.processAllAvailable()
+        # ...then the same content arrives again, hours later
+        write_batch("b3", [("dup_after_expiry", span, "2024-01-01 06:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_exp").collect()}
+    assert "orig" in kept and "advancer" in kept
+    assert "dup_in_window" not in kept  # dropped: same fingerprint, in window
+    assert "dup_after_expiry" in kept  # re-admitted: state evicted
