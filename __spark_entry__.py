@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered/window operators over events
         "events_hourly": Q.events_hourly,
         "events_sessionization": Q.events_sessionization,
+        "events_sliding_counts": Q.events_sliding_counts,
         "events_running_sum": Q.events_running_sum,
         "events_top_users_per_type": Q.events_top_users_per_type,
         "events_props_parse": Q.events_props_parse,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": Q.ROLLUP_SQL,
         "events_hourly": Q.EVENTS_HOURLY_SQL,
         "events_sessionization": Q.EVENTS_SESSION_SQL,
+        "events_sliding_counts": Q.EVENTS_SLIDING_SQL,
         "events_running_sum": Q.EVENTS_RUNNING_SQL,
         "events_top_users_per_type": Q.EVENTS_TOP_USERS_SQL,
         "events_props_parse": Q.EVENTS_PROPS_SQL,

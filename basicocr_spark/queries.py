@@ -320,6 +320,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregate (1 h window, 30 min slide) as a batch
+    query — each event lands in exactly two windows via F.window. The
+    oracle composes the identical answer from 30-minute tumbling
+    buckets (window starting at b = bucket(b) + bucket(b+30m)), pinning
+    the sliding semantics cross-engine; the streaming twin is
+    streaming.windowed_event_counts(slide=...)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, event_type,
+         count(*) AS n, sum(value) AS tv
+  FROM events GROUP BY 1, 2
+), starts AS (
+  SELECT b0 AS ws, event_type FROM b
+  UNION
+  SELECT b0 - INTERVAL '30 minutes' AS ws, event_type FROM b
+)
+SELECT strftime(s.ws, '%Y-%m-%d %H:%M:%S') AS window_start, s.event_type,
+       CAST(sum(x.n) AS BIGINT) AS n, round(sum(x.tv), 2) AS total_value
+FROM starts s
+JOIN b x ON x.event_type = s.event_type
+        AND (x.b0 = s.ws OR x.b0 = s.ws + INTERVAL '30 minutes')
+GROUP BY 1, 2
+"""
+
+
 def events_sessionization(spark, sf_dir):
     """W2-family lag window: session = gap > 1800s; sessions per user."""
     ev = _t(spark, sf_dir, "events")
