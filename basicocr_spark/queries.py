@@ -323,9 +323,11 @@ FROM events GROUP BY 1, 2
 def events_sliding_counts(spark, sf_dir):
     """Sliding-window aggregate (1 h window, 30 min slide) as a batch
     query — each event lands in exactly two windows via F.window. The
-    oracle composes the identical answer from 30-minute tumbling
-    buckets (window starting at b = bucket(b) + bucket(b+30m)), pinning
-    the sliding semantics cross-engine; the streaming twin is
+    oracle derives the non-empty window starts from 30-minute tumbling
+    buckets, then aggregates RAW events per window (summing bucket
+    subtotals would change float association vs Spark's direct partial
+    agg — fragile at round() boundaries), pinning the sliding semantics
+    cross-engine; the streaming twin is
     streaming.windowed_event_counts(slide=...)."""
     ev = _t(spark, sf_dir, "events")
     win = F.window("ts", "1 hour", "30 minutes")
@@ -343,19 +345,18 @@ def events_sliding_counts(spark, sf_dir):
 
 EVENTS_SLIDING_SQL = """
 WITH b AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, event_type,
-         count(*) AS n, sum(value) AS tv
-  FROM events GROUP BY 1, 2
+  SELECT DISTINCT time_bucket(INTERVAL '30 minutes', ts) AS b0, event_type
+  FROM events
 ), starts AS (
   SELECT b0 AS ws, event_type FROM b
   UNION
   SELECT b0 - INTERVAL '30 minutes' AS ws, event_type FROM b
 )
 SELECT strftime(s.ws, '%Y-%m-%d %H:%M:%S') AS window_start, s.event_type,
-       CAST(sum(x.n) AS BIGINT) AS n, round(sum(x.tv), 2) AS total_value
+       count(*) AS n, round(sum(e.value), 2) AS total_value
 FROM starts s
-JOIN b x ON x.event_type = s.event_type
-        AND (x.b0 = s.ws OR x.b0 = s.ws + INTERVAL '30 minutes')
+JOIN events e ON e.event_type = s.event_type
+             AND e.ts >= s.ws AND e.ts < s.ws + INTERVAL '60 minutes'
 GROUP BY 1, 2
 """
 
@@ -711,9 +712,15 @@ def docs_ngram_counts(spark, sf_dir):
     disappears (measured 4x at sf0.1: the single-partition scan
     serialized the whole explode onto one core)."""
     d = _t_wide(spark, sf_dir, "documents")
+    # tokenization factored into its own projection: inlining
+    # TS.tokens(text) into every gram lambda replicates the split
+    # expression ~6x through the nested higher-order functions and the
+    # generated code balloons (measured ~5s extra one-time codegen on
+    # this plan alone)
+    toks_df = d.select(TS.tokens(F.col("text")).alias("toks"))
 
     def _grams(n: int):
-        toks = TS.tokens(F.col("text"))
+        toks = F.col("toks")
         arr = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -729,7 +736,7 @@ def docs_ngram_counts(spark, sf_dir):
     # arrays before the single explode (a union of two selects scans
     # the documents table twice)
     counts = (
-        d.select(F.explode(F.concat(_grams(2), _grams(3))).alias("g"))
+        toks_df.select(F.explode(F.concat(_grams(2), _grams(3))).alias("g"))
         .select(F.col("g.n").alias("n"), F.col("g.ngram").alias("ngram"))
         .groupBy("n", "ngram")
         .agg(F.count(F.lit(1)).alias("freq"))

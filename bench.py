@@ -138,8 +138,10 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
         # ~10s of one-time session lazy initialization (measured — the
         # same query is ~1.6s on its second session call), which would
         # land on an arbitrary headliner's number instead of measuring
-        # its steady-state operator cost
-        qmap["docs_ngram_counts"](spark, sf_dir).write.format("noop").mode(
+        # its steady-state operator cost. The warm-up query is NOT a
+        # headliner (a headliner warming itself would record a warm
+        # second run while its peers time cold)
+        qmap["docs_word_freq"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         for name in headliners:

@@ -168,7 +168,6 @@ def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
     exactly what keeps state bounded at crawl scale — a batch dedup pass
     downstream catches long-range duplicates)."""
     import os
-    import time
 
     from basicocr_spark.streaming.pipeline import deduped_doc_stream
 
@@ -181,12 +180,14 @@ def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
     os.makedirs(d, exist_ok=True)
     span = [("text", "same content", None, 1)]
 
-    def write_batch(fname, rows):
+    def write_batch(rows):
+        # each call appends one part file; maxFilesPerTrigger=1 then
+        # sequences the microbatches in write order
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
 
     # batch 1: original at t0 + an in-window duplicate
-    write_batch("b1", [("orig", span, "2024-01-01 00:00:00"),
-                       ("dup_in_window", span, "2024-01-01 00:10:00")])
+    write_batch([("orig", span, "2024-01-01 00:00:00"),
+                 ("dup_in_window", span, "2024-01-01 00:10:00")])
     stream = spark.readStream.schema(
         spark.read.parquet(d).schema
     ).option("maxFilesPerTrigger", 1).parquet(d)
@@ -199,11 +200,11 @@ def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
         q.processAllAvailable()
         # batch 2: advance event time far past the watermark so the
         # fingerprint's state is evicted...
-        write_batch("b2", [("advancer", [("text", "different content", None, 1)],
-                            "2024-01-01 05:00:00")])
+        write_batch([("advancer", [("text", "different content", None, 1)],
+                      "2024-01-01 05:00:00")])
         q.processAllAvailable()
         # ...then the same content arrives again, hours later
-        write_batch("b3", [("dup_after_expiry", span, "2024-01-01 06:00:00")])
+        write_batch([("dup_after_expiry", span, "2024-01-01 06:00:00")])
         q.processAllAvailable()
     finally:
         q.stop()
