@@ -60,6 +60,7 @@ def _values_sql(rows: list[tuple], cols: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 def ctc_decode_fixture(spark, sf_dir):
+    """W1/W2 CTC greedy decode (argmax -> collapse repeats -> drop blanks) over seeded logits, checked against reference-computed constants."""
     rows = FX.gen_media_logits(N_MEDIA, SEED)
     df = spark.createDataFrame(rows, schema=S.MEDIA_LOGITS)
     return df.select(
@@ -101,6 +102,7 @@ def _correction_tokens() -> list[str]:
 
 
 def correction_fixture(spark, sf_dir):
+    """J4/J5 dictionary correction (levenshtein band + escalating radius + exact tie-break quirk) on seeded tokens vs reference constants."""
     dict_lines = FX.gen_dictionary(SEED)
     entries = R.load_dictionary(dict_lines)
     dict_df = spark.createDataFrame(
@@ -126,6 +128,7 @@ def _boilerplate_inputs() -> list[tuple[int, str]]:
 
 
 def boilerplate_fixture(spark, sf_dir):
+    """HTML boilerplate strip (block scoring: text/link density + class weights) on seeded pages vs reference-computed constants."""
     df = spark.createDataFrame(_boilerplate_inputs(), "span_id int, raw string")
     return df.select(
         "span_id", extract_main_text(F.col("raw"), FX.STOP_TERMS).alias("main_text")
@@ -144,6 +147,7 @@ def boilerplate_oracle_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def extraction_e2e_fixture(spark, sf_dir):
+    """Full extraction pipeline (route -> strip/recognize/correct -> stitch) on the seeded interleaved fixture, span-for-span vs the reference."""
     docs = FX.gen_documents(N_DOCS, N_MEDIA, SEED)
     logits = FX.gen_media_logits(N_MEDIA, SEED)
     dict_lines = FX.gen_dictionary(SEED)
@@ -231,6 +235,7 @@ def _pdf_fixture():
 
 
 def pdf_layout_blocks_fixture(spark, sf_dir):
+    """PDF text-layer parse (BT/ET grammar, FlateDecode) of generated PDFs: per-block page/x/y/text vs the generation-time layout."""
     from .operators.pdfparse import parse_pdf_layout
 
     fixture = _pdf_fixture()
@@ -251,6 +256,7 @@ def pdf_layout_blocks_oracle_sql() -> str:
 
 
 def pdf_reading_order_fixture(spark, sf_dir):
+    """PDF reading order: line-group blocks by (page, y, x) into the deterministic text sequence, checked against the known layout."""
     from .operators.pdfparse import pdf_documents_text
 
     fixture = _pdf_fixture()
@@ -323,6 +329,7 @@ def _triad_fixture():
 
 
 def triad_extraction_fixture(spark, sf_dir):
+    """The full north-rule triad in one pipeline: text + media + pdf spans extracted and stitched, span-for-span vs the reference."""
     from .operators.extraction import extract_documents_with_pdf_sql, flatten_extracted
 
     docs, _ = _triad_fixture()

@@ -211,6 +211,7 @@ GROUP BY r_name, n_name
 
 
 def order_priority_counts(spark, sf_dir):
+    """A2-family grouped count over a date-band filter (TPC-H Q4 shape): order priorities by count, deterministic ordering."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -303,6 +304,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 # ===========================================================================
 
 def events_hourly(spark, sf_dir):
+    """Tumbling-hour rollup per event type (date_trunc groupBy): count + rounded value total — the canonical time-bucketed aggregate."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -416,6 +418,7 @@ FROM events
 
 
 def events_top_users_per_type(spark, sf_dir):
+    """W6-family top-k per group over two agg levels: top-5 users by event count within each event type, deterministic ties."""
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("v"))
     w = Window.partitionBy("event_type").orderBy(F.col("v").desc(), F.col("user_id").asc())
@@ -518,6 +521,7 @@ FROM documents GROUP BY 1, 2
 
 
 def docs_quality_scores(spark, sf_dir):
+    """Per-doc quality signals (Gopher/C4-style): token count, punctuation ratio, composite [0,1] quality score — pure column arithmetic."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1209,6 +1213,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 # ===========================================================================
 
 def emb_norms(spark, sf_dir):
+    """Vector hygiene scan: L2 norm + dimensionality per embedding (aggregate fold), the sanity pass before any similarity job."""
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
