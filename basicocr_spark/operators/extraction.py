@@ -161,10 +161,20 @@ def _stitch_spans(unioned: DataFrame, docs: DataFrame) -> DataFrame:
                     F.col("offset"),
                     # null-kind contract: out-of-contract null kind sorts
                     # as '' (data passes through untouched below) — same
-                    # `p[1] or ""` key as the reference and both kernels
+                    # `p[1] or ""` key as the reference and both kernels.
+                    # The isNotNull flags then break null-vs-'' ties
+                    # (null first, False < True) so the struct comparison
+                    # never reaches the raw data fields and the order is
+                    # identical to the kernels' explicit flag keys —
+                    # without them, Spark's nulls-first raw-field
+                    # comparison diverged from the kernels' stable sorts
+                    # on pathological same-key/different-nullness ties
                     F.coalesce("kind", F.lit("")).alias("kind_key"),
                     F.coalesce("media_ref", F.lit("")).alias("mref_key"),
                     F.coalesce("out_text", F.lit("")).alias("text_key"),
+                    F.col("kind").isNotNull().alias("kind_nn"),
+                    F.col("media_ref").isNotNull().alias("mref_nn"),
+                    F.col("out_text").isNotNull().alias("text_nn"),
                     F.col("kind"),
                     F.col("out_text"),
                     F.col("media_ref"),
@@ -367,7 +377,9 @@ def extract_documents_fused(
                 )
             out_spans = []
             for processed in per_doc:
-                processed.sort(key=lambda p: (p[0], p[1] or "", p[3] or "", p[2] or ""))
+                processed.sort(key=lambda p: (p[0], p[1] or "", p[3] or "", p[2] or "",
+                                  p[1] is not None, p[3] is not None,
+                                  p[2] is not None))
                 out_spans.append(
                     [
                         {"kind": kind, "text": txt, "media_ref": mref, "order": rank}
@@ -445,11 +457,19 @@ def extract_documents_fused_arrow(
                 out_text[media_mask] = refs.map(lookup).to_numpy()
 
             # same composite order as the pandas kernel / SQL array_sort:
-            # (doc, offset, kind-or-'', media_ref-or-'', text-or-'')
+            # (doc, offset, kind-or-'', media_ref-or-'', text-or-'',
+            #  then null-presence flags breaking null-vs-'' ties, null
+            #  first — keeps all four implementations in lockstep on
+            #  pathological same-key ties)
             text_key = out_text.fillna("").to_numpy()
             mref_key = mref.fillna("").to_numpy()
             kind_key = kind.fillna("").to_numpy()
-            perm = np.lexsort((text_key, mref_key, kind_key, offset, doc_ix))
+            kind_nn = kind.notna().to_numpy()
+            mref_nn = mref.notna().to_numpy()
+            text_nn = out_text.notna().to_numpy()
+            perm = np.lexsort(
+                (text_nn, mref_nn, kind_nn, text_key, mref_key, kind_key, offset, doc_ix)
+            )
             doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             order = (np.arange(total) - np.repeat(doc_starts, counts)).astype(np.int32)
 

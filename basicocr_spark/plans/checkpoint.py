@@ -40,14 +40,21 @@ def _fs_ls(path: str) -> list[str]:
         return []
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg runtime jar is on the session's classpath.
-    The sandbox image ships without it, so the directory snapshot model
-    below is the default; on a real cluster with
-    spark.sql.catalog.<name> configured this returns True and
-    SnapshotWriter can take the writeTo() path."""
+def iceberg_available(spark: SparkSession) -> bool | None:
+    """True/False iff the Iceberg runtime jar is provably on/off the
+    session's classpath; None when it cannot be probed (Spark Connect
+    sessions expose no _jvm — there the catalog CONFIG check below is
+    the only signal, and a configured catalog must not be spuriously
+    rejected). The sandbox image ships without the jar, so the
+    directory snapshot model is the default."""
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        jvm = spark._jvm
+        if jvm is None:
+            return None
+    except Exception:
+        return None  # Spark Connect: jar presence is unknowable driver-side
+    try:
+        jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return True
     except Exception:
         return False
@@ -153,18 +160,21 @@ class SnapshotWriter:
         self.catalog_table = catalog_table
         if catalog_table is not None and catalog_io is None:
             # a 3-part name's first segment is the catalog; 1/2-part
-            # names resolve against the session catalog (the standard
-            # Iceberg SparkSessionCatalog setup configures
-            # spark.sql.catalog.spark_catalog)
+            # names resolve against the session's default catalog
+            # (spark.sql.defaultCatalog, itself defaulting to
+            # spark_catalog — the standard Iceberg SparkSessionCatalog
+            # setup configures spark.sql.catalog.spark_catalog)
             catalog_name = (
                 catalog_table.split(".")[0]
                 if catalog_table.count(".") >= 2
-                else "spark_catalog"
+                else spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
             )
             configured = (
                 spark.conf.get(f"spark.sql.catalog.{catalog_name}", None) is not None
             )
-            if not (iceberg_available(spark) and configured):
+            # jar probe: False = provably absent; None (Spark Connect) =
+            # unknowable, so the catalog config alone decides
+            if iceberg_available(spark) is False or not configured:
                 raise RuntimeError(
                     "SnapshotWriter(catalog_table=...) needs the Iceberg "
                     f"runtime jar AND spark.sql.catalog.{catalog_name} "

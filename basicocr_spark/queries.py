@@ -626,18 +626,31 @@ CJK_REPLACEMENTS = [
 ]
 
 
+def _replace_chain_col(col, reps):
+    """Chained literal replace over a column — ONE implementation for
+    every derived-fixture corpus (CJK, PII). Mirrored by
+    _duck_replace_chain; keep the two in lockstep."""
+    for pat, rep in reps:
+        col = F.replace(col, F.lit(pat), F.lit(rep))
+    return col
+
+
+def _duck_replace_chain(expr: str, reps) -> str:
+    """DuckDB twin of _replace_chain_col. Patterns/replacements must not
+    contain single quotes (asserted — a quote would silently break the
+    hand-built SQL chain but not the Spark one)."""
+    for pat, rep in reps:
+        assert "'" not in pat and "'" not in rep, (pat, rep)
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
 def _cjk_text_col():
-    c = F.col("text")
-    for pat, rep in CJK_REPLACEMENTS:
-        c = F.replace(c, F.lit(pat), F.lit(rep))
-    return c
+    return _replace_chain_col(F.col("text"), CJK_REPLACEMENTS)
 
 
 def _duck_cjk_text_expr() -> str:
-    e = "text"
-    for pat, rep in CJK_REPLACEMENTS:
-        e = f"replace({e}, '{pat}', '{rep}')"
-    return e
+    return _duck_replace_chain("text", CJK_REPLACEMENTS)
 
 
 def _duck_cjk_tokens_expr(text_expr: str = "text") -> str:
@@ -2062,9 +2075,15 @@ def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
     executor loss the job recomputes only the current round from the
     last durable checkpoint, instead of dying on truncated lineage)."""
     if reliable and spark.sparkContext.getCheckpointDir() is None:
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
+        # fail fast: silently defaulting to a driver-local temp dir would
+        # defeat the mode's purpose (executors can't read the driver's
+        # /tmp on a real cluster, and the data doesn't survive the loss
+        # reliable mode exists to survive)
+        raise RuntimeError(
+            "docs_dup_clusters(reliable=True) needs "
+            "spark.sparkContext.setCheckpointDir(<durable shared storage>) "
+            "configured first; refusing to fall back to driver-local /tmp."
+        )
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -2141,10 +2160,7 @@ PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 
 def _pii_text_col():
-    c = F.col("text")
-    for pat, rep in PII_REPLACEMENTS:
-        c = F.replace(c, F.lit(pat), F.lit(rep))
-    return c
+    return _replace_chain_col(F.col("text"), PII_REPLACEMENTS)
 
 
 def docs_pii_scrub(spark, sf_dir):
@@ -2173,9 +2189,7 @@ def docs_pii_scrub(spark, sf_dir):
 
 
 def _duck_pii_sql() -> str:
-    txt = "text"
-    for pat, rep in PII_REPLACEMENTS:
-        txt = f"replace({txt}, '{pat}', '{rep}')"
+    txt = _duck_replace_chain("text", PII_REPLACEMENTS)
     # DuckDB string literals keep backslashes literally — the raw
     # patterns drop straight in; regexp_replace needs the 'g' flag
     email, phone = PII_EMAIL_RE, PII_PHONE_RE

@@ -426,7 +426,9 @@ def extract_document(
             # (out-of-contract kinds take the media/recognition leg, and
             # all four implementations agree — see edge-case tests)
             processed.append((sp["offset"], sp["kind"], corrected, sp["media_ref"]))
-    processed.sort(key=lambda p: (p[0], p[1] or "", p[3] or "", p[2] or ""))
+    processed.sort(key=lambda p: (p[0], p[1] or "", p[3] or "", p[2] or "",
+                                  p[1] is not None, p[3] is not None,
+                                  p[2] is not None))
     return [
         {"kind": kind, "text": txt, "media_ref": mref, "order": rank}
         for rank, (_, kind, txt, mref) in enumerate(processed)

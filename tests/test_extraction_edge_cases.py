@@ -143,6 +143,62 @@ def test_null_kind_routes_to_media_leg_everywhere(spark, fx):
     assert len(sql_map["null_kind"]) == 2
 
 
+def test_null_vs_empty_kind_tie_orders_identically(spark, fx):
+    """Pathological tie: two spans at the same offset, same media_ref,
+    same recognized text, one kind=NULL and one kind='' — they tie on
+    every coalesced sort key and differ only in nullness. All four
+    implementations must order them identically (null first, via the
+    explicit null-presence flag keys); before the flags, Spark's struct
+    comparison fell through to raw fields (nulls first) while the
+    kernels' stable sorts kept arrival order."""
+    from pyspark.sql import types as T
+
+    nullable_span = T.StructType(
+        [
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", T.ArrayType(nullable_span), False),
+        ]
+    )
+    # empty-string kind FIRST in arrival order: a stable sort would keep
+    # it first, the flag key must move the null-kind span ahead of it
+    rows = [("tie", [("", None, "m000001", 5), (None, None, "m000001", 5)])]
+    docs = spark.createDataFrame(rows, schema=schema)
+    logits_rows = [
+        (r.media_ref, [list(x) for x in r.logits], r.gold_text)
+        for r in fx["media_logits"].collect()
+    ]
+    sql_map = _spans_map(
+        extract_documents_sql(docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
+    )
+    fused_map = _spans_map(
+        extract_documents_fused(docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+    )
+    arrow_map = _spans_map(
+        extract_documents_fused_arrow(docs, logits_rows, fx["dict_lines"], STOP_TERMS)
+    )
+    logits_by_ref = {r.media_ref: [list(x) for x in r.logits] for r in fx["media_logits"].collect()}
+    entries = R.load_dictionary(fx["dict_lines"])
+    ref_out = [
+        (s["kind"], s["text"], s["media_ref"], s["order"])
+        for s in R.extract_document(
+            [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in rows[0][1]],
+            logits_by_ref,
+            entries,
+            STOP_TERMS,
+        )
+    ]
+    assert sql_map["tie"] == fused_map["tie"] == arrow_map["tie"] == ref_out
+    assert sql_map["tie"][0][0] is None and sql_map["tie"][1][0] == ""  # null first
+
+
 def test_sql_preserves_empty_doc(spark, fx, adv_docs):
     out = extract_documents_sql(adv_docs, fx["media_logits"], fx["dictionary"], STOP_TERMS)
     row = {r.doc_id: r.spans for r in out.collect()}["empty"]
