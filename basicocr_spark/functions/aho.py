@@ -110,16 +110,20 @@ def strip_terms_ac_df(
     df: DataFrame, terms: list[str], text_col: str = "text", out_col: str = "clean"
 ) -> DataFrame:
     """Append `out_col` = AC-stripped `text_col`: the automaton is built
-    once on the driver, broadcast, and each Arrow batch is scanned in
-    one mapInPandas pass (no per-row UDF). All other columns pass
-    through."""
+    once on the driver, shipped to executors via closure capture (term
+    dictionaries are broadcast-sized by definition, and closure capture —
+    unlike sparkContext.broadcast — also works on Spark Connect sessions,
+    which expose no sparkContext), and each Arrow batch is scanned in one
+    mapInPandas pass (no per-row UDF). All other columns pass through;
+    the output schema is a StructType (not a hand-formatted DDL string,
+    which breaks on column names needing backticks)."""
+    from pyspark.sql import types as T
+
     ac = AhoCorasick(terms)
-    bc = df.sparkSession.sparkContext.broadcast(ac)
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{fields}, {out_col} string"
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
 
     def gen(batches):
-        auto = bc.value
+        auto = ac
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [auto.strip(t) if t is not None else None for t in pdf[text_col]]

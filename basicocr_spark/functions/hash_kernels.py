@@ -186,6 +186,31 @@ def shingle_hash_sets_batch(
     ]
 
 
+def poly_hash_batch(texts: pd.Series) -> pd.Series:
+    """Arrow-batch twin of textstats.char_poly_hash as a column: null in,
+    null out (F.aggregate over a null array is null); everything else is
+    poly_hash_flat. Nullable Int64 so the null survives Arrow transfer."""
+    mask = texts.notna()
+    vals = poly_hash_flat([t for t in texts[mask]])
+    out = pd.Series([pd.NA] * len(texts), dtype="Int64", index=texts.index)
+    out[mask] = vals
+    return out
+
+
+def poly_hash_kernel(col):
+    """Scalar pandas-UDF wrapper for poly_hash_batch, created per call
+    (the DDL return-type parse needs an active SparkSession). Drop-in
+    replacement for textstats.char_poly_hash on corpus-scan hot paths:
+    the Catalyst per-char `F.aggregate` fold evaluates interpreted
+    (~100x the cost of this flat numpy segment reduction — the same
+    reason minhash/simhash run as kernels); the expression form remains
+    the DuckDB-pairable oracle and tests/test_hash_kernels.py pins the
+    two bit-identical. Works in batch and streaming plans alike."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(poly_hash_batch, "long")(col)
+
+
 # ---------------------------------------------------------------------------
 # DataFrame wrappers (mapInPandas — the Arrow-batched surface)
 # ---------------------------------------------------------------------------

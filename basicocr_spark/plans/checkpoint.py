@@ -54,10 +54,26 @@ def iceberg_available(spark: SparkSession) -> bool | None:
     except Exception:
         return None  # Spark Connect: jar presence is unknowable driver-side
     try:
-        jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        # Resolve through the thread context classloader: jars supplied
+        # via --packages/spark.jars land in Spark's child
+        # MutableURLClassLoader, which the single-arg Class.forName
+        # (resolving against py4j's defining classloader) cannot see —
+        # that probe returns False on a correctly configured session.
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        if loader is None:
+            return None
+        loader.loadClass("org.apache.iceberg.catalog.Catalog")
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        # Only a genuine ClassNotFoundException is "provably absent";
+        # any other py4j/JVM hiccup is unknowable and must not veto a
+        # configured catalog (SnapshotWriter treats None as advisory).
+        java_exc = getattr(e, "java_exception", None)
+        try:
+            name = java_exc.getClass().getName() if java_exc is not None else ""
+        except Exception:
+            name = ""
+        return False if "ClassNotFoundException" in name else None
 
 
 def next_free_sid(committed: list[str]) -> str:

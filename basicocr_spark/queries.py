@@ -556,9 +556,13 @@ FROM b
 
 
 def docs_fingerprint(spark, sf_dir):
-    """Polynomial rolling-hash document fingerprint (engine-independent)."""
+    """Polynomial rolling-hash document fingerprint (engine-independent
+    arithmetic; computed by the Arrow numpy kernel — the Catalyst
+    per-char fold form stays the oracle, pinned bit-identical in
+    tests/test_hash_kernels.py, but evaluates interpreted and is ~100x
+    slower on a full corpus scan)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TS.char_poly_hash(F.col("text")).alias("fingerprint"))
+    return d.select("doc_id", HK.poly_hash_kernel(F.col("text")).alias("fingerprint"))
 
 
 DOCS_FINGERPRINT_SQL = f"""
@@ -900,7 +904,7 @@ def _minhash_sigs(d):
     return HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3)
 
 
-def _band_candidates(sigs, id_col: str, out_a: str, out_b: str):
+def _band_candidates(sigs, id_col: str, out_a: str, out_b: str, observation=None):
     """(id, mh0..mh{N-1}) -> distinct candidate id pairs (out_a < out_b)
     sharing any band bucket. Band sig = poly fold of the band's
     minhashes mod MOD (BAND_MULT multiplier) — a rare fold collision
@@ -917,7 +921,9 @@ def _band_candidates(sigs, id_col: str, out_a: str, out_b: str):
     banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
-    return _bucket_pair_join(banded, id_col, out_a, out_b, cap=LSH_BUCKET_CAP)
+    return _bucket_pair_join(
+        banded, id_col, out_a, out_b, cap=LSH_BUCKET_CAP, observation=observation
+    )
 
 
 # A band bucket with more members than this emits star pairs against its
@@ -935,7 +941,10 @@ def _band_candidates(sigs, id_col: str, out_a: str, out_b: str):
 LSH_BUCKET_CAP = 64
 
 
-def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str, cap: int | None = None):
+def _bucket_pair_join(
+    banded, id_col: str, out_a: str, out_b: str, cap: int | None = None,
+    observation=None,
+):
     """Self-join of a (id, band, sig) table: distinct ordered id pairs
     sharing any band bucket — the one shuffle of every LSH candidate
     generator here (minhash bands and hyperplane bands alike). With a
@@ -945,7 +954,13 @@ def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str, cap: int | No
     FINE bucket schemes (minhash bands, where a bucket ~ one near-dup
     group); coarse schemes like the 4-bit hyperplane sign buckets of
     emb_near_dup_cosine hold ~n/16 members by design and must pass
-    cap=None (star pairing would discard real candidates there)."""
+    cap=None (star pairing would discard real candidates there).
+
+    Cap firing is NOT silent: pass a `pyspark.sql.Observation` to record
+    `rows_in_capped_buckets` / `max_bucket` at action time (zero extra
+    passes — the metrics ride the existing window stage), so a run whose
+    pair list lost non-star pairs to the cap is observable instead of
+    silently diverging from the all-pairs oracle."""
     if cap is None:
         return (
             banded.alias("a")
@@ -966,6 +981,14 @@ def _bucket_pair_join(banded, id_col: str, out_a: str, out_b: str, cap: int | No
         F.count(F.lit(1)).over(w).alias("_n"),
         F.min(id_col).over(w).alias("_rep"),
     )
+    if observation is not None:
+        tagged = tagged.observe(
+            observation,
+            F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias(
+                "rows_in_capped_buckets"
+            ),
+            F.max("_n").alias("max_bucket"),
+        )
     small = tagged.filter(F.col("_n") <= cap)
     pairs_small = (
         small.alias("a")
@@ -987,7 +1010,16 @@ def docs_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs: 3-word shingles -> arithmetic poly
     hash -> 16 permutations (Arrow numpy kernel, one mapInPandas
     projection) -> 4 bands of 4 -> band-bucket equi-join. The only
-    shuffle is the band-bucket join."""
+    shuffle is the band-bucket join.
+
+    Recall caveat: any band bucket larger than LSH_BUCKET_CAP (64) —
+    byte-identical floods, but also NATURAL near-dup families such as
+    templated/boilerplate pages at crawl scale — emits only star pairs
+    against its min-id representative, so the PAIR LIST under-reports
+    within-family pairs there (connectivity for docs_dup_clusters is
+    preserved; consumers needing complete membership of a big family
+    should read the cluster table, not this pair list). Cap firings are
+    observable via the Observation hook on _bucket_pair_join."""
     d = _t_wide(spark, sf_dir, "documents")
     # materialize once: the band self-join would otherwise execute the
     # signature kernel on BOTH sides (two full corpus scans)
@@ -1058,7 +1090,15 @@ def docs_near_dup_verified(spark, sf_dir):
     generation (cheap, recall-oriented) -> exact 2-gram-shingle Jaccard
     verification on candidates only (precision). Exact pairwise Jaccard
     over all doc pairs is quadratic; this verifies only the ~O(dups)
-    candidate set — the shape that survives 10^12 docs."""
+    candidate set — the shape that survives 10^12 docs.
+
+    Recall caveat: verification sees only generated candidates, so the
+    LSH_BUCKET_CAP star-pairing inside candidate generation (see
+    docs_minhash_lsh_pairs) bounds this query's recall too — a band
+    bucket >64 members (identical-clone flood OR a natural templated
+    family) yields star pairs only, and lost pairs cannot be recovered
+    here; the cluster table (docs_dup_clusters) is the cap-safe
+    consumer."""
     d = _t_wide(spark, sf_dir, "documents")
     # ONE kernel pass computes signatures AND verification shingle sets,
     # materialized via localCheckpoint — the signature table a production
@@ -1265,7 +1305,11 @@ def _local_topk(
         for pdf in batches:
             both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
             both = both.sort_values(order, ascending=ascending)
-            acc = both.groupby(by, sort=False).head(k) if by else both.head(k)
+            # dropna=False: pandas groupby silently discards null-keyed
+            # rows by default, which would drop them before the global
+            # ranking (all current call sites have non-null keys, but
+            # this helper must stay safe for arbitrary group columns)
+            acc = both.groupby(by, sort=False, dropna=False).head(k) if by else both.head(k)
         if acc is not None and len(acc):
             yield acc
 

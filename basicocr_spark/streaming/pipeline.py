@@ -203,12 +203,16 @@ def deduped_doc_stream(
     DuckDB oracle leg. Input: interleaved (doc_id, spans, event_ts)
     stream; event_ts must be the ingestion event time for watermark
     semantics."""
-    from ..functions.textstats import char_poly_hash
+    from ..functions.hash_kernels import poly_hash_kernel
 
     content = F.to_json(F.col("spans"))
     fp = (
         docs_stream.withColumn("event_ts", F.col("event_ts").cast("timestamp"))
-        .withColumn(fingerprint_col, char_poly_hash(content))
+        # poly half via the Arrow kernel (the Catalyst per-char fold
+        # evaluates interpreted — hash_kernels.py docstring); xxhash64
+        # stays native JVM. Same Arrow projection family as the batch
+        # fingerprint, pinned to the expression form by test_hash_kernels.
+        .withColumn(fingerprint_col, poly_hash_kernel(content))
         .withColumn("fingerprint_xx", F.xxhash64(content))
     )
     return fp.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(

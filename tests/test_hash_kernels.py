@@ -217,3 +217,23 @@ def test_shingle_sets_kernel_matches_expressions(spark):
         got = {r[0]: sorted(r[1]) for r in HK.shingle_hash_sets_df(df).collect()}
         want = {r[0]: sorted(r[1]) for r in _expr_shingle_sets(df).collect()}
         assert got == want
+
+
+def test_poly_hash_kernel_matches_expression(spark):
+    """The scalar pandas-UDF poly hash (docs_fingerprint / streaming
+    dedup hot path) must equal the interpreted char_poly_hash fold on
+    every edge string, CJK texts, the real documents table, AND nulls
+    (F.aggregate over a null array is null — the kernel must not turn
+    that into 0)."""
+    null_edge = spark.createDataFrame(
+        CJK_EDGE_TEXTS + [(200, None)], "doc_id long, text string"
+    )
+    for df in (null_edge, _docs_df(spark)):
+        both = df.select(
+            "doc_id",
+            TS.char_poly_hash(F.col("text")).alias("expr_fp"),
+            HK.poly_hash_kernel(F.col("text")).alias("kern_fp"),
+        ).collect()
+        assert both
+        for r in both:
+            assert r["expr_fp"] == r["kern_fp"], r["doc_id"]

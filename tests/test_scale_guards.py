@@ -172,6 +172,44 @@ def test_jaccard_prefix_result_equals_naive(spark, tmp_path):
     assert (0, 1) in got and (0, 4) in got and (0, 2) in got and (0, 3) not in got
 
 
+def test_lsh_cap_firing_is_observable(spark):
+    """The bucket cap must not fire silently: an Observation threaded
+    through _bucket_pair_join records how many rows sat in capped
+    buckets and the max bucket size, at action time, with zero extra
+    passes — and stays zero when no bucket exceeds the cap."""
+    from pyspark.sql import Observation
+
+    rows = [(i, 0, 7) for i in range(100)] + [(i, 1, i) for i in range(100)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, sig long")
+    obs = Observation("lsh_cap")
+    pairs = Q._bucket_pair_join(banded, "doc_id", "a", "b", cap=64, observation=obs)
+    n_pairs = pairs.count()
+    assert n_pairs == 99  # star pairs only for the 100-member bucket
+    assert obs.get["rows_in_capped_buckets"] == 100
+    assert obs.get["max_bucket"] == 100
+
+    obs2 = Observation("lsh_cap_quiet")
+    quiet = spark.createDataFrame(
+        [(i, 0, i % 50) for i in range(100)], "doc_id long, band int, sig long"
+    )
+    Q._bucket_pair_join(quiet, "doc_id", "a", "b", cap=64, observation=obs2).count()
+    assert obs2.get["rows_in_capped_buckets"] == 0
+
+
+def test_local_topk_keeps_null_group_keys(spark):
+    """_local_topk must not silently drop rows whose group key is null
+    (pandas groupby defaults to dropna=True — a correctness trap for
+    future callers)."""
+    df = spark.createDataFrame(
+        [(None, 5, "a"), (None, 3, "b"), ("g", 9, "c"), ("g", 1, "d"), (None, 4, "e")],
+        "grp string, score long, id string",
+    ).repartition(1)
+    out = Q._local_topk(df, 2, ["grp"], ["score", "id"], [False, True]).collect()
+    got = {(r["grp"], r["score"]) for r in out}
+    assert (None, 5) in got and (None, 4) in got, got
+    assert ("g", 9) in got and ("g", 1) in got
+
+
 def test_simhash_near_dup_bands_are_exact_for_ball_3(spark):
     """4 byte-bands over 32 bits: any pair at hamming distance <= 3
     shares an intact byte (pigeonhole), so the banded candidate join
