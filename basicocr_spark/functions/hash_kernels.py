@@ -82,14 +82,43 @@ def _shingles(toks: list[str], k: int) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
 
 
+# Chunk bound for poly_hash_flat's working set (total codepoints per
+# inner call). The kernel streams ~8 full-length int64 temporaries per
+# pass; bounding a chunk to 2^18 chars keeps them inside the per-core
+# L2/L3 slice instead of DRAM — measured 2x faster single-threaded and
+# it is what keeps 32 concurrent kernel tasks from saturating memory
+# bandwidth on a packed executor host (the wide-run regression that made
+# the unchunked kernel LOSE to the interpreted JVM fold at local[32]).
+_POLY_CHUNK_CHARS = 1 << 18
+
+
 def poly_hash_flat(strings: list[str]) -> np.ndarray:
     """Vectorized char_poly_hash over a flat list of strings:
     h(s) = fold acc -> (acc*31 + codepoint) % MOD, computed as
     sum(codepoint_j * 31^(len-1-j)) mod MOD over one concatenated
-    codepoint array (no per-char Python)."""
+    codepoint array (no per-char Python). Inputs beyond
+    _POLY_CHUNK_CHARS total codepoints are processed in string-aligned
+    chunks (bit-identical — each string's hash is self-contained)."""
     n = len(strings)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    total_chars = sum(len(s) for s in strings)
+    if total_chars > _POLY_CHUNK_CHARS:
+        out = np.empty(n, dtype=np.int64)
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or tot + len(strings[j]) <= _POLY_CHUNK_CHARS):
+                tot += len(strings[j])
+                j += 1
+            out[i:j] = _poly_hash_flat_one(strings[i:j])
+            i = j
+        return out
+    return _poly_hash_flat_one(strings)
+
+
+def _poly_hash_flat_one(strings: list[str]) -> np.ndarray:
+    n = len(strings)
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     total = int(lens.sum())
     if total == 0:
@@ -200,12 +229,21 @@ def poly_hash_batch(texts: pd.Series) -> pd.Series:
 def poly_hash_kernel(col):
     """Scalar pandas-UDF wrapper for poly_hash_batch, created per call
     (the DDL return-type parse needs an active SparkSession). Drop-in
-    replacement for textstats.char_poly_hash on corpus-scan hot paths:
-    the Catalyst per-char `F.aggregate` fold evaluates interpreted
-    (~100x the cost of this flat numpy segment reduction — the same
-    reason minhash/simhash run as kernels); the expression form remains
-    the DuckDB-pairable oracle and tests/test_hash_kernels.py pins the
-    two bit-identical. Works in batch and streaming plans alike."""
+    replacement for textstats.char_poly_hash on corpus-scan hot paths;
+    the expression form remains the DuckDB-pairable oracle and
+    tests/test_hash_kernels.py pins the two bit-identical. Works in
+    batch and streaming plans alike.
+
+    Honest economics (measured round 3, 100k docs x 2400 chars): for
+    this SINGLE linear fold the interpreted Catalyst lambda costs
+    ~0.12 us/char and the kernel wins ~1.8x in core time (27.9s vs
+    15.2s serial) — NOT the ~100x of the nested minhash/simhash family,
+    whose interpreted forms rebuild per-shingle arrays per permutation.
+    The kernel's margin is bounded by Arrow string transfer and by
+    memory bandwidth when every core runs it at once (hence the
+    _POLY_CHUNK_CHARS cache blocking); on short-string columns
+    (streaming span JSON, dictionary words) transfer is small and the
+    kernel wins outright."""
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(poly_hash_batch, "long")(col)

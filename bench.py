@@ -144,6 +144,18 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
         qmap["docs_word_freq"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # ...and one tiny scalar-pandas-udf call: ArrowEvalPython is a
+        # separate eval path from MapInPandas with its own one-time
+        # serializer/worker init (~0.8s measured), which would otherwise
+        # land on the first headliner that uses a scalar kernel
+        # (docs_fingerprint) instead of on session setup where it belongs
+        from pyspark.sql import functions as F
+
+        from basicocr_spark.functions.hash_kernels import poly_hash_kernel
+
+        spark.range(8).select(
+            poly_hash_kernel(F.lit("warm-up string")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
         for name in headliners:
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
