@@ -70,7 +70,27 @@ def _cjk_tokens(text: str | None) -> list[str]:
     return out
 
 
-TOKENIZERS = {"ws": _tokens, "cjk": _cjk_tokens}
+def _cjk_dict_tokens(text: str | None) -> list[str]:
+    """Mirror of textstats.cjk_dict_tokens (priority maximum matching
+    over the inline CJK_LEXICON): literal replaces with sentinel
+    protection, single-char spacing for OOV hanzi, then whitespace
+    tokenization — pinned token-for-token to the Catalyst form by
+    tests/test_hash_kernels.py."""
+    from .textstats import CJK_LEXICON, _cjk_sentinel
+
+    if text is None:
+        return []
+    for i, w in enumerate(CJK_LEXICON):
+        text = text.replace(w, f" {_cjk_sentinel(i)} ")
+    text = _CJK_CHAR.sub(r" \1 ", text)
+    for i, w in enumerate(CJK_LEXICON):
+        text = text.replace(_cjk_sentinel(i), w)
+    return _tokens(text)
+
+
+_CJK_CHAR = re.compile(r"([一-龥])")
+
+TOKENIZERS = {"ws": _tokens, "cjk": _cjk_tokens, "cjk_dict": _cjk_dict_tokens}
 
 
 def _shingles(toks: list[str], k: int) -> list[str]:

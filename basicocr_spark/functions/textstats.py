@@ -68,6 +68,55 @@ def cjk_tokens(col: Column) -> Column:
     )
 
 
+# Deterministic inline CJK lexicon for the dictionary segmenter, in
+# PRIORITY ORDER (longest first, then list order) — the engine-pairable
+# stand-in for the reference's jieba/HanLP dictionary (readData.py:6,
+# Test.java:28-37; external dictionary files are out of scope, and the
+# derived CJK corpus in queries.py is built from exactly these phrases
+# plus their sub-words, so longest-match priority has real work).
+CJK_LEXICON = [
+    "大数据表",
+    "数据流水",
+    "排序归并",
+    "哈希连接",
+    "慢查询",
+    "快速行",
+    "数据",
+    "查询",
+    "排序",
+    "归并",
+    "连接",
+    "流水",
+]
+
+# Sentinel wrapper for segmented lexicon hits: the brackets are outside
+# the CJK range (so the single-char spacing pass skips protected spans)
+# and absent from the synthetic corpus.
+def _cjk_sentinel(i: int) -> str:
+    return f"⟦{i}⟧"
+
+
+def cjk_dict_tokens(col: Column) -> Column:
+    """Dictionary-based CJK segmentation (P10, the word-level segmenter
+    the bigram form approximates): priority maximum matching — each
+    lexicon word, longest first, claims all its remaining occurrences
+    (protected by non-CJK sentinels so a shorter word can never re-match
+    inside a longer hit); leftover CJK chars tokenize as single
+    characters (jieba's OOV behavior); latin/digit tokens pass through
+    whitespace tokenization unchanged. Built entirely from literal
+    replaces + one single-char regexp spacing, so Spark, DuckDB, and the
+    Python kernel mirror produce identical tokens (literal replace has
+    identical left-to-right non-overlapping semantics in all three
+    engines — the property the derived-corpus fixtures already rely on).
+    """
+    for i, w in enumerate(CJK_LEXICON):
+        col = F.replace(col, F.lit(w), F.lit(f" {_cjk_sentinel(i)} "))
+    col = F.regexp_replace(col, r"([一-龥])", r" $1 ")
+    for i, w in enumerate(CJK_LEXICON):
+        col = F.replace(col, F.lit(_cjk_sentinel(i)), F.lit(w))
+    return tokens(col)
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

@@ -73,6 +73,44 @@ def cosine_rounded_fast(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(cosine_seq_kernel(a, b), scale)
 
 
+def group_vector_sums_df(df, group_col: str = "label", vec_col: str = "embedding"):
+    """Per-partition per-group element-wise vector sum + count, Arrow-
+    batched: ONE partial row per (input partition, group) instead of the
+    n x d row explosion a posexplode-based centroid build shuffles (at
+    100 TB of embeddings that explode IS the job). The tiny partial
+    table (partitions x labels rows) is what flows into the final
+    per-dimension combine. Requires fixed-dimension vectors within a
+    group (the embedding-table contract; ragged vectors would need the
+    posexplode form, which remains the oracle)."""
+    import pandas as pd
+
+    gt = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {gt}, n long, sums array<double>"
+
+    def gen(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, vecs in pdf.groupby(group_col, sort=False, dropna=False)[vec_col]:
+                M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                s = M.sum(axis=0)
+                prev = acc.get(g)
+                if prev is None:
+                    acc[g] = [len(vecs), s]
+                else:
+                    prev[0] += len(vecs)
+                    prev[1] = prev[1] + s
+        if acc:
+            yield pd.DataFrame(
+                {
+                    group_col: list(acc.keys()),
+                    "n": [v[0] for v in acc.values()],
+                    "sums": [v[1] for v in acc.values()],
+                }
+            )
+
+    return df.select(group_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def hyperplane_sign_bucket(a: Column, num_planes: int = 8, plane_offset: int = 0) -> Column:
     """Deterministic LSH bucket id: sign bits against `num_planes` fixed
     pseudo-random hyperplanes h_j[i] = (((i+1)*(j+1)*2654435761) % 1000)

@@ -707,6 +707,56 @@ FROM counts QUALIFY rk <= 80
 """
 
 
+def _duck_cjk_dict_tokens_expr(text_expr: str) -> str:
+    """DuckDB twin of textstats.cjk_dict_tokens over {text_expr}:
+    priority maximum matching via sentinel-protected literal replaces,
+    single-char spacing for OOV hanzi, whitespace split."""
+    e = text_expr
+    for i, w in enumerate(TS.CJK_LEXICON):
+        assert "'" not in w
+        e = f"replace({e}, '{w}', ' ⟦{i}⟧ ')"
+    e = f"regexp_replace({e}, '([一-龥])', ' \\1 ', 'g')"
+    for i, w in enumerate(TS.CJK_LEXICON):
+        e = f"replace({e}, '⟦{i}⟧', '{w}')"
+    return (
+        f"CASE WHEN trim({e}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({e}), '\\s+') END"
+    )
+
+
+def docs_word_freq_cjk_dict(spark, sf_dir):
+    """P10 word-level CJK frequency via the DICTIONARY segmenter
+    (priority maximum matching over the inline lexicon,
+    textstats.cjk_dict_tokens) — the jieba/HanLP-analog word-frequency
+    sink (S9) the bigram segmenter only approximates: a user reading
+    this table gets lexicon WORDS (大数据表), with single-char fallback
+    for OOV hanzi, not character bigrams. Same count + deterministic
+    top-80 shape as docs_word_freq_cjk."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.cjk_dict_tokens(_cjk_text_col())).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    reduced = _local_topk(counts, 80, [], ["freq", "word"], [False, True])
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 80)
+        .select("word", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_word_freq_cjk_dict_sql() -> str:
+    arr = _duck_cjk_dict_tokens_expr(f"({_duck_cjk_text_expr()})")
+    return f"""
+WITH toks AS (
+  SELECT unnest({arr}) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS freq FROM toks GROUP BY word
+)
+SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+FROM counts QUALIFY rk <= 80
+"""
+
+
 def docs_minhash_lsh_pairs_cjk(spark, sf_dir):
     """docs_minhash_lsh_pairs with CJK-aware shingling over the derived
     mixed CJK/latin corpus: bigram-segmented tokens feed the k=3 shingle
@@ -1914,16 +1964,26 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _centroid_per_dim(e):
+    """(label, dim, c) per-label centroid components WITHOUT the n x d
+    posexplode: the Arrow kernel emits one (label, n, sums) partial per
+    input partition (group_vector_sums_df), and only that tiny partial
+    table posexplodes into the final per-dimension combine — each
+    partial appears exactly once per dim, so sum(n) per (label, dim) is
+    the label's vector count. The posexplode-over-every-vector form is
+    the DuckDB oracle (EMB_CENTROIDS_SQL, unchanged)."""
+    partials = V.group_vector_sums_df(e, "label", "embedding")
+    flat = partials.select("label", "n", F.posexplode("sums").alias("dim", "s"))
+    return flat.groupBy("label", "dim").agg((F.sum("s") / F.sum("n")).alias("c"))
+
+
 def emb_label_centroids(spark, sf_dir):
-    """Per-label centroid stats over the embedding column: posexplode to
-    (label, dim, value), average per dim, then the centroid L2 norm —
-    the aggregation path a clustering/IVF build would take."""
+    """Per-label centroid stats over the embedding column: per-partition
+    vector-sum kernel partials -> per-dim combine -> centroid L2 norm —
+    the aggregation path a clustering/IVF build takes, minus the n x d
+    row explosion through the shuffle."""
     e = _t(spark, sf_dir, "embeddings")
-    per_dim = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-    )
+    per_dim = _centroid_per_dim(e)
     return (
         per_dim.groupBy("label")
         .agg(
@@ -1971,9 +2031,9 @@ def emb_ivf_multiprobe(spark, sf_dir):
 
 def _ivf_topk_impl(spark, sf_dir, nprobe: int):
     e = _t(spark, sf_dir, "embeddings")
-    flat = e.select(
-        "label", F.posexplode("embedding").alias("dim", "v")
-    ).groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    # coarse-quantizer build rides the same partial-sum kernel as
+    # emb_label_centroids (no n x d explode before the shuffle)
+    flat = _centroid_per_dim(e)
     cents = flat.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
     ).select(

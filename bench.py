@@ -126,6 +126,11 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             "docs_ngram_counts",
             "docs_strip_large_dict",
             "emb_cosine_topk",
+            # the operators an LLM training-data pipeline ships, tracked
+            # round over round per VERDICT r2
+            "docs_pii_scrub",
+            "events_asof_join",
+            "docs_dedup_keep_best",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —

@@ -163,6 +163,52 @@ def test_cjk_tokens_semantics(spark):
     assert out[3] == ["hello", "世界", "界和", "和平", "world"]
 
 
+def test_cjk_dict_tokens_kernel_matches_expression(spark):
+    """The Python cjk_dict mirror (TOKENIZERS['cjk_dict']) must equal the
+    Catalyst cjk_dict_tokens column form on every CJK edge text plus
+    lexicon-specific overlap cases."""
+    extra = CJK_EDGE_TEXTS + [
+        (200, "大数据表"),
+        (201, "数据流水"),  # prefix 数据 must NOT pre-empt the longer word
+        (202, "大数据流水"),  # 数据流水 claims, leftover 大 is a single char
+        (203, "数据查询"),  # two lexicon words back to back
+        (204, "abc大数据表def 慢查询!"),
+        (205, "查询查询查询"),
+    ]
+    df = spark.createDataFrame(extra, "doc_id long, text string")
+    want = {
+        r[0]: list(r[1])
+        for r in df.select("doc_id", TS.cjk_dict_tokens(F.col("text")).alias("t")).collect()
+    }
+    got = {i: HK._cjk_dict_tokens(t) for i, t in extra}
+    assert got == want
+
+
+def test_cjk_dict_tokens_semantics(spark):
+    """Pin priority maximum matching: longest lexicon word wins, OOV
+    hanzi fall back to single chars, latin passes through."""
+    cases = {
+        "大数据表": ["大数据表"],
+        "数据流水": ["数据流水"],
+        "大数据流水": ["大", "数据流水"],
+        "数据查询": ["数据", "查询"],
+        "中文数据": ["中", "文", "数据"],  # OOV chars single, lexicon word whole
+        "hello 大数据表 world": ["hello", "大数据表", "world"],
+    }
+    for text, want in cases.items():
+        assert HK._cjk_dict_tokens(text) == want, (text, want)
+
+
+def test_cjk_dict_minhash_kernel_matches_expressions(spark):
+    """The third tokenizer must thread through the minhash kernel the
+    same way: kernel signatures == expression signatures under the
+    dictionary segmenter."""
+    df = _cjk_edge_df(spark)
+    got = _as_map(HK.minhash_signatures_df(df, num_hashes=8, k=3, tokenizer="cjk_dict"))
+    want = _as_map(_expr_minhash(df, num_hashes=8, k=3, tokenizer=TS.cjk_dict_tokens))
+    assert got == want
+
+
 def test_simhash_kernel_matches_expressions(spark):
     for df in (_edge_df(spark), _docs_df(spark)):
         got = _as_map(HK.simhash_df(df))

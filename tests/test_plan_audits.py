@@ -142,6 +142,20 @@ def test_streaming_dedup_plan_has_no_interpreted_fold(spark, tmp_path):
     assert "lambdafunction" not in plan and "aggregate(" not in plan
 
 
+def test_centroid_build_has_no_vector_explode(spark):
+    """emb_label_centroids / the IVF coarse quantizer must posexplode
+    ONLY the kernel's tiny (partition x label) partial table — no
+    Generate node may sit below the MapInPandas partial-sum stage (the
+    n x d explode-through-the-shuffle was the round-2 minor finding)."""
+    for df in (Q.emb_label_centroids(spark, SF), Q.emb_ivf_topk(spark, SF)):
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "Generate" in plan  # the partials explode survives
+        # toString prints top-down (execution bottom-up): any Generate
+        # BELOW MapInPandas would print at a higher index
+        assert plan.rindex("Generate") < plan.index("MapInPandas"), plan
+
+
 def test_q1_single_shuffle_partial_agg(spark):
     """q1 is one partial+final hash aggregation: exactly one Exchange."""
     qm = E.queries()
