@@ -122,13 +122,47 @@ def _worker_recognizer(b_logits, b_dict, b_stop, job_token, alphabet, max_cost):
     return cache["extract"], recognize
 
 
+def recognizer_from_batch_fn(batch_fn):
+    """Lift a plain model-forward callable `list[media_ref] -> list[str]`
+    into the recognize_media recognizer protocol: the engine wraps it in
+    an Arrow-batched scalar pandas UDF (the Spark side — batching,
+    schema, column wiring — is handled here; the user writes ONLY the
+    forward pass, e.g. a torch CRNN batch inference keyed by ref or by
+    fetched bytes). Contract-tested against the logits-join path with
+    the fixture codec (test_multimodal.py)."""
+
+    def apply(media_spans: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(
+            lambda refs: pd.Series(batch_fn(refs.tolist()), dtype="object"),
+            "string",
+        )
+        return media_spans.withColumn("raw_text", udf(F.col("media_ref")))
+
+    return apply
+
+
 def recognize_media(
-    media_spans: DataFrame, logits_df: DataFrame, alphabet: str = R.DEFAULT_ALPHABET
+    media_spans: DataFrame,
+    logits_df: DataFrame = None,
+    alphabet: str = R.DEFAULT_ALPHABET,
+    recognizer=None,
 ) -> DataFrame:
     """(.., media_ref) join broadcast logits -> raw recognized text via the
     pure-JVM CTC decode expression. Refs missing from the logits table
     decode to '' (the reference skips undecodable samples,
-    dataset.py:51-55 — here: empty recognition, row preserved)."""
+    dataset.py:51-55 — here: empty recognition, row preserved).
+
+    `recognizer` is the real-model seam (reference: models/crnn.py:23-79
+    forward + demo.py:26-41): any callable `DataFrame -> DataFrame`
+    that appends `raw_text`; when given it REPLACES the logits join, so
+    a production CRNN plugs in with zero engine edits (see
+    recognizer_from_batch_fn for the convenience lift from a plain
+    batch-forward function)."""
+    if recognizer is not None:
+        return recognizer(media_spans)
     return (
         media_spans.join(
             F.broadcast(logits_df.select("media_ref", "logits")), "media_ref", "left"

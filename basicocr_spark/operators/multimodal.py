@@ -63,25 +63,87 @@ def decode_fake_image(buf: bytes):
     return w, h, payload
 
 
-def decode_real_image(buf: bytes):
-    """Real decoder slot — requires cv2/PIL, absent in this container."""
-    raise NotImplementedError(
-        "pixel decode requires an imaging library not present in this "
-        "environment; production deployments plug cv2/PIL in here and the "
-        "surrounding Arrow plumbing is unchanged"
-    )
+# ---------------------------------------------------------------------------
+# Decoder protocol (the real-model adapter seam)
+# ---------------------------------------------------------------------------
+# A MediaDecoder is any callable `bytes | None -> (width, height,
+# grayscale_payload_row_major_uint8_bytes) | None` (None = invalid blob,
+# P1/P2 skip semantics). decode_fake_image satisfies it; so do the
+# cv2/PIL adapters below when their libraries exist. Every media
+# operator takes `decoder=` and defaults through resolve_decoder, so
+# plugging a real pixel decoder in requires ZERO engine edits — exactly
+# the reference's decode chain boundary (dataset.py:69-80: imageBuf ->
+# cv2.imdecode -> grayscale).
 
 
-def validate_media(blobs: DataFrame) -> DataFrame:
+def _make_cv2_decoder():
+    try:
+        import cv2
+        import numpy as np
+    except ImportError:
+        return None
+
+    def decode(buf: bytes):
+        if buf is None:
+            return None
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
+        if img is None or img.size == 0:
+            return None
+        h, w = img.shape
+        return w, h, img.tobytes()
+
+    return decode
+
+
+def _make_pil_decoder():
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(buf: bytes):
+        if buf is None:
+            return None
+        try:
+            img = Image.open(io.BytesIO(buf)).convert("L")
+        except Exception:
+            return None
+        w, h = img.size
+        if w * h == 0:
+            return None
+        return w, h, img.tobytes()
+
+    return decode
+
+
+def resolve_decoder(decoder=None):
+    """Decoder resolution: an explicitly injected callable wins; else the
+    first importable real adapter (cv2, then PIL); else the deterministic
+    fake codec (this container ships no imaging libs — the fake keeps
+    the full Arrow chain testable bit-stably)."""
+    if decoder is not None:
+        return decoder
+    for maker in (_make_cv2_decoder, _make_pil_decoder):
+        real = maker()
+        if real is not None:
+            return real
+    return decode_fake_image
+
+
+def validate_media(blobs: DataFrame, decoder=None) -> DataFrame:
     """P1/P2: drop undecodable blobs (the reference skips corrupted rows,
     dataset.py:51-55). Vectorized over Arrow batches; emits decoded dims
     so downstream stages never re-decode just for metadata."""
+    decoder = resolve_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ok, ws, hs = [], [], []
             for buf in pdf["content"]:
-                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                d = decoder(bytes(buf) if buf is not None else None)
                 ok.append(d is not None)
                 ws.append(d[0] if d else None)
                 hs.append(d[1] if d else None)
@@ -97,11 +159,15 @@ def validate_media(blobs: DataFrame) -> DataFrame:
     ).filter(F.col("valid"))
 
 
-def media_features(blobs: DataFrame, resize_to: tuple[int, int] = (100, 32)) -> DataFrame:
-    """Decode -> grayscale 'resize' (nearest-neighbor index arithmetic,
-    P9/F10 stand-in for dataset.py:69-80) -> per-image feature vector
-    (mean/std/aspect + 8-bin histogram). Arrow-batched; numpy inside."""
+def media_features(
+    blobs: DataFrame, resize_to: tuple[int, int] = (100, 32), decoder=None
+) -> DataFrame:
+    """Decode (pluggable, resolve_decoder) -> grayscale 'resize'
+    (nearest-neighbor index arithmetic, P9/F10 stand-in for
+    dataset.py:69-80) -> per-image feature vector (mean/std/aspect +
+    8-bin histogram). Arrow-batched; numpy inside."""
     tw, th = resize_to
+    decoder = resolve_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -109,7 +175,7 @@ def media_features(blobs: DataFrame, resize_to: tuple[int, int] = (100, 32)) -> 
         for pdf in batches:
             refs, feats = [], []
             for ref, buf in zip(pdf["media_ref"], pdf["content"]):
-                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                d = decoder(bytes(buf) if buf is not None else None)
                 if d is None:
                     continue
                 w, h, payload = d
@@ -129,7 +195,7 @@ def media_features(blobs: DataFrame, resize_to: tuple[int, int] = (100, 32)) -> 
 
 
 def media_batches_dynamic_width(
-    blobs: DataFrame, target_h: int = 32, max_w: int = 400
+    blobs: DataFrame, target_h: int = 32, max_w: int = 400, decoder=None
 ) -> DataFrame:
     """A6/keep_ratio dynamic batch width (reference: alignCollate with
     keep_ratio, dataset.py:109-136): each ARROW BATCH is resized to
@@ -137,6 +203,7 @@ def media_batches_dynamic_width(
     width instead of a global constant — cutting padding waste for
     narrow crops. Emits per-image tensors plus the batch width actually
     used, so tests can assert the width varies with batch content."""
+    decoder = resolve_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -144,7 +211,7 @@ def media_batches_dynamic_width(
         for pdf in batches:
             decoded = []
             for ref, buf in zip(pdf["media_ref"], pdf["content"]):
-                d = decode_fake_image(bytes(buf) if buf is not None else None)
+                d = decoder(bytes(buf) if buf is not None else None)
                 if d is not None:
                     decoded.append((ref, d))
             if not decoded:
@@ -207,7 +274,7 @@ def _iter_fake_video_frames(buf: bytes):
         pos += 12 + consumed
 
 
-def sample_frames(videos: DataFrame, n_samples: int = 4) -> DataFrame:
+def sample_frames(videos: DataFrame, n_samples: int = 4, frame_iter=None) -> DataFrame:
     """Uniform frame sampling for video media: each blob yields
     `n_samples` frames at evenly spaced indices (floor(j*(T-1)/(k-1))),
     each re-emitted as a standalone image blob row ready for the image
@@ -215,13 +282,20 @@ def sample_frames(videos: DataFrame, n_samples: int = 4) -> DataFrame:
     mapInPandas pass — a row-multiplying Arrow UDTF in effect, the
     standard shape for video -> per-frame training examples. Videos
     shorter than n_samples emit every frame once; undecodable blobs emit
-    nothing (P1/P2 skip semantics, dataset.py:51-55)."""
+    nothing (P1/P2 skip semantics, dataset.py:51-55).
+
+    `frame_iter` is the container-walker seam (same adapter pattern as
+    resolve_decoder): any callable `bytes | None -> iterable of
+    (frame_idx, frame_bytes)`; default is the fake-container walker. A
+    production deployment passes an ffmpeg/PyAV-backed walker and the
+    Spark plumbing is unchanged."""
+    frame_iter = frame_iter or _iter_fake_video_frames
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, idxs, frames = [], [], []
             for ref, buf in zip(pdf["media_ref"], pdf["content"]):
-                all_frames = list(_iter_fake_video_frames(bytes(buf) if buf is not None else None))
+                all_frames = list(frame_iter(bytes(buf) if buf is not None else None))
                 t = len(all_frames)
                 if t == 0:
                     continue

@@ -29,9 +29,94 @@ def test_media_features_deterministic(spark):
         assert v[2] > 0  # aspect ratio
 
 
-def test_real_decode_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        MM.decode_real_image(b"\x89PNG")
+def test_decoder_resolution_defaults_to_fake_codec():
+    """No imaging libs in this container: resolve_decoder must fall back
+    to the fake codec, and an explicitly injected callable must win over
+    everything."""
+    assert MM.resolve_decoder() is MM.decode_fake_image
+    marker = lambda buf: None
+    assert MM.resolve_decoder(marker) is marker
+
+
+def test_injected_decoder_drives_all_media_operators(spark):
+    """The adapter-seam contract: a custom decoder (here: one that
+    decodes ANY non-empty blob to a fixed 8x4 gradient image) plugs into
+    validate/features/dynamic-width with zero engine edits — corrupt
+    blobs the fake codec would drop are now valid, dims come from the
+    injected decoder, and features reflect its pixels."""
+
+    def gradient_decoder(buf):
+        if buf is None or len(buf) == 0:
+            return None
+        return 8, 4, bytes(range(32))
+
+    refs = [f"m{i:06d}" for i in range(6)]
+    blobs = MM.build_blob_table(spark, refs, corrupt_every=2)
+    valid = MM.validate_media(blobs, decoder=gradient_decoder).collect()
+    assert len(valid) == 6  # nothing dropped: every blob is non-empty
+    assert all(r.dec_width == 8 and r.dec_height == 4 for r in valid)
+
+    feats = MM.media_features(blobs, decoder=gradient_decoder).collect()
+    assert len(feats) == 6
+    vals = {tuple(r.features) for r in feats}
+    assert len(vals) == 1  # every image identical under this decoder
+    (fv,) = vals
+    assert fv[2] == 2.0  # aspect = 8/4
+
+    widths = {
+        r.batch_width
+        for r in MM.media_batches_dynamic_width(blobs, decoder=gradient_decoder).collect()
+    }
+    assert widths == {64}  # max_ratio 2.0 * target_h 32
+
+
+def test_injected_frame_iter_drives_sampling(spark):
+    """sample_frames' container walker is pluggable the same way."""
+
+    def two_frame_iter(buf):
+        if buf is None:
+            return
+        yield 0, b"frame-a"
+        yield 1, b"frame-b"
+
+    refs = ["v1", "v2"]
+    videos = MM.build_video_table(spark, refs, corrupt_every=0)
+    out = MM.sample_frames(videos, n_samples=4, frame_iter=two_frame_iter).collect()
+    assert len(out) == 4  # 2 videos x 2 frames
+    assert {bytes(r.content) for r in out} == {b"frame-a", b"frame-b"}
+
+
+def test_recognizer_seam_matches_logits_join(spark, fx):
+    """recognize_media(recognizer=...) must be able to reproduce the
+    logits-join path exactly when the injected forward function encodes
+    the same fixture knowledge — proving a real CRNN drop-in needs no
+    engine edits."""
+    from basicocr_spark.operators.extraction import (
+        recognize_media,
+        recognizer_from_batch_fn,
+    )
+
+    media = fx["documents"].select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media").select(
+        "doc_id", F.col("s.media_ref").alias("media_ref")
+    )
+    want = {
+        (r.doc_id, r.media_ref): r.raw_text
+        for r in recognize_media(media, fx["media_logits"]).collect()
+    }
+    # build the 'model': ref -> decoded text, from the logits-join truth
+    by_ref = {}
+    for (doc_id, ref), txt in want.items():
+        by_ref[ref] = txt
+    fake_forward = lambda refs: [by_ref.get(r, "") for r in refs]
+    got = {
+        (r.doc_id, r.media_ref): r.raw_text
+        for r in recognize_media(
+            media, recognizer=recognizer_from_batch_fn(fake_forward)
+        ).collect()
+    }
+    assert got == want
 
 
 def test_roundtrip_encoding():
