@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
         # new this round
         "docs_word_freq_cjk_dict": Q.docs_word_freq_cjk_dict,
+        "docs_minhash_lsh_pairs_cjk_dict": Q.docs_minhash_lsh_pairs_cjk_dict,
         # relational core (SURVEY.md §2.3/2.4/2.5/2.6)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue_band": Q.q6_revenue_band,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_word_freq": Q.DOCS_WORD_FREQ_SQL,
         "docs_word_freq_cjk": Q._duck_word_freq_cjk_sql(),
         "docs_word_freq_cjk_dict": Q._duck_word_freq_cjk_dict_sql(),
+        "docs_minhash_lsh_pairs_cjk_dict": Q._duck_minhash_cjk_dict_sql(),
         "docs_minhash_lsh_pairs_cjk": Q._duck_minhash_cjk_sql(),
         "docs_ngram_counts": Q._duck_ngram_counts_sql(),
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,

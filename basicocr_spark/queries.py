@@ -770,6 +770,28 @@ def docs_minhash_lsh_pairs_cjk(spark, sf_dir):
     return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
 
 
+def docs_minhash_lsh_pairs_cjk_dict(spark, sf_dir):
+    """docs_minhash_lsh_pairs under the DICTIONARY CJK segmenter
+    (cjk_dict): lexicon words + single-char OOV fallback feed the k=3
+    shingle minhash, completing the word-level segmentation story for
+    dedup (the bigram variant remains for dictionary-free recall). Same
+    band scheme, same single band-bucket shuffle."""
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", _cjk_text_col().alias("text"))
+    sigs = HK.minhash_signatures_df(
+        d, num_hashes=N_MINHASH, k=3, tokenizer="cjk_dict"
+    ).localCheckpoint()
+    return _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
+
+
+def _duck_minhash_cjk_dict_sql() -> str:
+    """Dictionary-segmented twin of _duck_minhash_sql over the derived
+    mixed CJK/latin corpus."""
+    return _duck_minhash_sql(
+        arr=_duck_cjk_dict_tokens_expr("text"),
+        source=f"(SELECT doc_id, {_duck_cjk_text_expr()} AS text FROM documents)",
+    )
+
+
 def docs_ngram_counts(spark, sf_dir):
     """A9 word n-gram counting (reference: docs/yangzhanku/n-gram/
     language-model.md:166-193 make-batch-counts -> merge-batch-counts):
