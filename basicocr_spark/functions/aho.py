@@ -165,18 +165,20 @@ def strip_terms_ac_df(
     which breaks on column names needing backticks)."""
     from pyspark.sql import types as T
 
-    # C fast path: when pyahocorasick is importable, each worker builds
-    # the C automaton from the (broadcast-sized) term list — built
-    # per-task rather than pickled, since the C object's picklability is
-    # not a stable contract. Fallback: the pure-Python automaton, built
-    # once on the driver and closure-shipped. Both share resolve_strip,
-    # and their match enumeration is parity-pinned in tests/test_aho.py.
-    use_c = c_automaton_available()
-    ac = None if use_c else AhoCorasick(terms)
+    # C fast path: each WORKER probes pyahocorasick for itself and
+    # builds the C automaton from the (broadcast-sized) term list —
+    # built per-task rather than pickled (the C object's picklability is
+    # not a stable contract), and probed per-worker rather than on the
+    # driver (a driver-side flag would crash tasks on clusters where the
+    # driver venv has the extension but worker images don't — review
+    # finding). The pure-Python automaton is always built and shipped as
+    # the unconditional fallback. Both share resolve_strip, and their
+    # match enumeration is parity-pinned in tests/test_aho.py.
+    ac = AhoCorasick(terms)
     schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
 
     def gen(batches):
-        auto = make_c_automaton(terms) if use_c else ac
+        auto = make_c_automaton(terms) or ac
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [auto.strip(t) if t is not None else None for t in pdf[text_col]]

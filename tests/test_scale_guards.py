@@ -210,6 +210,56 @@ def test_local_topk_keeps_null_group_keys(spark):
     assert ("g", 9) in got and ("g", 1) in got
 
 
+def test_centroid_kernel_matches_explode_form_on_nulls_and_ragged(spark):
+    """Review finding: the vector-sum kernel must reproduce the
+    posexplode + avg null semantics exactly — null vectors contribute
+    nothing (an all-null label is absent), null ELEMENTS are skipped per
+    dimension, ragged lengths contribute only to their own dims."""
+    from basicocr_spark.functions import vectors as V
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", None),
+        ("a", [3.0, None, 5.0]),
+        ("b", [10.0, 20.0]),
+        ("b", [1.0, 2.0, 30.0]),  # ragged within label
+        ("c", None),  # label with only nulls: absent
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>").repartition(2)
+
+    explode_form = (
+        df.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    partials = V.group_vector_sums_df(df, "label", "embedding")
+    kernel_form = (
+        partials.select("label", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc"))
+        .groupBy("label", "dim")
+        .agg(F.sum("sc.sums").alias("s"), F.sum("sc.counts").alias("n"))
+        .select("label", "dim", F.when(F.col("n") > 0, F.col("s") / F.col("n")).alias("c"))
+    )
+    want = {(r["label"], r["dim"]): r["c"] for r in explode_form.collect()}
+    got = {(r["label"], r["dim"]): r["c"] for r in kernel_form.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert not any(lbl == "c" for (lbl, _) in got)
+
+
+def test_recognize_media_requires_a_path(spark, fx):
+    import pytest
+
+    from basicocr_spark.operators.extraction import recognize_media
+
+    media = fx["documents"].limit(1).select(F.lit("m000001").alias("media_ref"))
+    with pytest.raises(ValueError, match="logits_df .*or a recognizer"):
+        recognize_media(media)
+
+
 def test_simhash_near_dup_bands_are_exact_for_ball_3(spark):
     """4 byte-bands over 32 bits: any pair at hamming distance <= 3
     shares an intact byte (pigeonhole), so the banded candidate join
