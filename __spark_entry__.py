@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_matrix": Q.events_type_matrix,
         "events_value_histogram_top1": Q.events_value_histogram_top1,
         "events_asof_join": Q.events_asof_join,
+        "events_range_join": Q.events_range_join,
         "nation_customer_supplier_overlap": Q.nation_customer_supplier_overlap,
         "nation_extreme_customers": Q.nation_extreme_customers,
         "part_string_ops": Q.part_string_ops,
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_scores": Q.docs_quality_scores,
         "docs_fingerprint": Q.docs_fingerprint,
         "docs_word_freq": Q.docs_word_freq,
+        "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_word_freq_cjk": Q.docs_word_freq_cjk,
         "docs_minhash_lsh_pairs_cjk": Q.docs_minhash_lsh_pairs_cjk,
         "docs_ngram_counts": Q.docs_ngram_counts,
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_matrix": Q.EVENTS_MATRIX_SQL,
         "events_value_histogram_top1": Q.EVENTS_HIST_SQL,
         "events_asof_join": Q.EVENTS_ASOF_SQL,
+        "events_range_join": Q.EVENTS_RANGE_SQL,
         "nation_customer_supplier_overlap": Q.NATION_OVERLAP_SQL,
         "nation_extreme_customers": Q.NATION_EXTREME_SQL,
         "part_string_ops": Q.PART_STRING_SQL,
@@ -198,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_scores": Q.DOCS_QUALITY_SQL,
         "docs_fingerprint": Q.DOCS_FINGERPRINT_SQL,
         "docs_word_freq": Q.DOCS_WORD_FREQ_SQL,
+        "docs_token_kmv_distinct": Q._duck_kmv_sql(),
         "docs_word_freq_cjk": Q._duck_word_freq_cjk_sql(),
         "docs_word_freq_cjk_dict": Q._duck_word_freq_cjk_dict_sql(),
         "docs_minhash_lsh_pairs_cjk_dict": Q._duck_minhash_cjk_dict_sql(),

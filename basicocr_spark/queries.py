@@ -570,6 +570,80 @@ SELECT doc_id, {_duck_poly("text")} AS fingerprint FROM documents
 """
 
 
+# k=16 keeps the ESTIMATOR branch (n >= k) exercised on the driver's
+# small-vocab synthetic corpora (~33 distinct tokens at sf0.01) — at
+# production scale you'd run k=1024+ for ~3% error; the formula and the
+# merge shape are k-independent.
+KMV_K = 16
+KMV_MULT = 2_654_435_761  # Knuth multiplicative constant
+KMV_ADD = 104_729
+
+
+def docs_token_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-token sketch — a DETERMINISTIC
+    cardinality estimator, unlike approx_count_distinct's HLL whose
+    sketch is engine-private: the k smallest distinct poly-hash values
+    give est = (k-1) * M / h_k. Exactly reproducible in ANSI SQL, so the
+    oracle pins the sketch itself, not just a tolerance. The scale
+    shape: hash + distinct is map-side combinable, and the global
+    k-smallest runs as per-partition top-k merged on the driver
+    (TakeOrderedAndProject) — the KMV merge IS a top-k merge, which is
+    why the sketch unions across partitions/datasets for free. Emits
+    the estimate next to the exact distinct count so the row
+    self-reports sketch error (~1/sqrt(k) ~ 12% at k=64)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.tokens(F.col("text"))).alias("word")).distinct()
+    # KMV needs hashes ~uniform on [0, P): the raw poly hash of SHORT
+    # tokens is range-biased low (a 5-char word sums to < ~31^4 * 122,
+    # an order of magnitude under MOD), which inflates the estimate
+    # ~100x — the affine spread by a large odd multiplier mod the
+    # Mersenne prime wraps many times and equidistributes (same family
+    # as the minhash permutations; still exact integer arithmetic in
+    # both engines)
+    spread = (
+        F.lit(KMV_MULT) * TS.char_poly_hash(F.col("word")) + F.lit(KMV_ADD)
+    ) % F.lit(MINHASH_PRIME)
+    hs = toks.select(spread.alias("h")).distinct()
+    kmin = hs.orderBy(F.col("h").asc()).limit(KMV_K)
+    sketch = kmin.agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("hk")
+    )
+    exact = hs.agg(F.count(F.lit(1)).alias("exact_distinct_hashes"))
+    return sketch.crossJoin(exact).select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.round((F.lit(KMV_K - 1) * F.lit(float(MINHASH_PRIME))) / F.col("hk"), 2)
+        )
+        .alias("est_distinct"),
+        F.col("exact_distinct_hashes").cast("long").alias("exact_distinct_hashes"),
+    )
+
+
+def _duck_kmv_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), hs AS (
+  SELECT DISTINCT ({KMV_MULT} * ({_duck_poly("word")}) + {KMV_ADD}) % {MINHASH_PRIME} AS h
+  FROM toks
+), kmin AS (
+  SELECT h FROM hs ORDER BY h ASC LIMIT {KMV_K}
+), sketch AS (
+  SELECT count(*) AS n_sketch, max(h) AS hk FROM kmin
+), exact AS (
+  SELECT count(*) AS exact_distinct_hashes FROM hs
+)
+SELECT {KMV_K} AS k, n_sketch,
+       CASE WHEN n_sketch < {KMV_K} THEN CAST(n_sketch AS DOUBLE)
+            ELSE round(({KMV_K - 1} * CAST({MINHASH_PRIME} AS DOUBLE)) / hk, 2) END AS est_distinct,
+       exact_distinct_hashes
+FROM sketch CROSS JOIN exact
+"""
+
+
 def docs_word_freq(spark, sf_dir):
     """A2 word-frequency pipeline with J7 stop-word anti-join
     (reference: readData.py:23-33): tokenize, drop stop words, count,
@@ -2387,6 +2461,70 @@ def events_asof_join(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "value", "last_click_id", "last_click_value")
     )
+
+
+RANGE_JOIN_BIN_US = 300_000_000  # 5-minute proximity band, in microseconds
+
+
+def events_range_join(spark, sf_dir):
+    """Range (interval-proximity) join — like the as-of join, an
+    operator Spark has no native form of: attach to each top-value
+    'error' incident every OTHER event within +-5 minutes, with NO
+    equi-key between the sides. The naive theta-join is a full cross
+    product; the scale-correct shape used here is bin bucketing: each
+    event lands in one 5-minute bin, each incident explodes to its 3
+    covering bins (b-1, b, b+1 — any |dt| <= bin fits one of them), the
+    join is a plain BIN EQUI-JOIN Catalyst can hash-partition and
+    AQE-skew-split, and the exact |dt| predicate filters the residual.
+    Each qualifying pair appears exactly once (an event has one bin; an
+    incident lists each bin once). Oracle: the naive theta join."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+        "value",
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    incidents = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("event_id").alias("incident_id"), F.col("us").alias("ius"))
+    )
+    bins = F.explode(
+        F.array(
+            *[
+                (F.col("ius") / F.lit(RANGE_JOIN_BIN_US)).cast("long") + F.lit(d)
+                for d in (-1, 0, 1)
+            ]
+        )
+    )
+    binned_incidents = incidents.select("incident_id", "ius", bins.alias("bin"))
+    binned_events = e.select(
+        "event_id", "us", "value", (F.col("us") / F.lit(RANGE_JOIN_BIN_US)).cast("long").alias("bin")
+    )
+    pairs = binned_events.join(F.broadcast(binned_incidents), "bin").filter(
+        (F.abs(F.col("us") - F.col("ius")) <= RANGE_JOIN_BIN_US)
+        & (F.col("event_id") != F.col("incident_id"))
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.round(F.sum("value"), 2).alias("total_nearby_value"),
+    )
+
+
+EVENTS_RANGE_SQL = f"""
+WITH incidents AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS ius FROM (
+    SELECT *, row_number() OVER (ORDER BY value DESC, event_id ASC) AS rk
+    FROM events WHERE event_type = 'error'
+  ) WHERE rk <= 20
+)
+SELECT i.incident_id, count(*) AS n_nearby, round(sum(e.value), 2) AS total_nearby_value
+FROM incidents i JOIN events e
+  ON abs(epoch_us(e.ts) - i.ius) <= {RANGE_JOIN_BIN_US} AND e.event_id != i.incident_id
+GROUP BY 1
+"""
 
 
 EVENTS_ASOF_SQL = """
