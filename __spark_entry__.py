@@ -98,6 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "docs_word_freq_cjk_dict": Q.docs_word_freq_cjk_dict,
         "docs_minhash_lsh_pairs_cjk_dict": Q.docs_minhash_lsh_pairs_cjk_dict,
+        "docs_containment_pairs": Q.docs_containment_pairs,
+        "docs_dup_ngram_fraction": Q.docs_dup_ngram_fraction,
+        "docs_bpe_pair_counts": Q.docs_bpe_pair_counts,
+        "docs_tfidf_top_terms": Q.docs_tfidf_top_terms,
+        "docs_source_dedup_stats": Q.docs_source_dedup_stats,
         # relational core (SURVEY.md §2.3/2.4/2.5/2.6)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue_band": Q.q6_revenue_band,
@@ -205,6 +210,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_word_freq_cjk": Q._duck_word_freq_cjk_sql(),
         "docs_word_freq_cjk_dict": Q._duck_word_freq_cjk_dict_sql(),
         "docs_minhash_lsh_pairs_cjk_dict": Q._duck_minhash_cjk_dict_sql(),
+        "docs_containment_pairs": Q._duck_containment_sql(),
+        "docs_dup_ngram_fraction": Q._duck_dup_ngram_sql(),
+        "docs_bpe_pair_counts": Q.DOCS_BPE_PAIRS_SQL,
+        "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
+        "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_minhash_lsh_pairs_cjk": Q._duck_minhash_cjk_sql(),
         "docs_ngram_counts": Q._duck_ngram_counts_sql(),
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,

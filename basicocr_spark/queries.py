@@ -2608,3 +2608,368 @@ WITH b AS (
 )
 SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM b GROUP BY split
 """
+
+
+# ===========================================================================
+# Containment / substring-duplication / subword operators (round 3)
+# ===========================================================================
+
+CONTAIN_NUM, CONTAIN_DEN = 9, 10  # containment threshold 0.9, exact integers
+CONTAIN_MIN_SHINGLES = 5
+CONTAIN_K = 3  # shingle width: 3-token shingles; unigram sets are
+# degenerate on a small-vocab corpus (every doc's word set ~ the
+# vocabulary, so containment >= 0.9 holds for ~36% of ALL pairs at
+# sf0.001) and too coarse at web scale (topic words != copied text)
+
+
+def docs_containment_pairs(spark, sf_dir):
+    """Asymmetric set-containment near-dup pairs over distinct 3-token
+    SHINGLE sets: C(A->B) = |A cap B| / |A| >= 0.9 (|A| >= 5 shingles) —
+    the quote/subset duplication symmetric Jaccard misses (a paragraph
+    wholly lifted into a 10x-longer page has J ~ 0.1 but C = 1.0).
+    Shingles shuffle as 64-bit poly hashes, never strings; a collision
+    only ever ADDs to an intersection and the oracle hashes identically,
+    so parity is exact. Scale shape: asymmetric prefix filter — if
+    C >= t, at most |A| - ceil(t|A|) of A's shingles are outside B, so
+    among A's first |A| - ceil(t|A|) + 1 shingles under the global
+    (df asc, hash asc) order at least one is in B. Only those A-prefix
+    shingles enter the inverted-index join against B's full shingle
+    list; rarest-first ordering keeps boilerplate shingles out of
+    prefixes, so no df^2 bucket. Candidates verify exactly on full
+    distinct sets (two-phase, like docs_jaccard_pairs); the integer
+    threshold 10*inter >= 9*|A| mirrors the prefix filter's exact
+    guarantee. Oracle: naive all-pairs inverted-index SQL."""
+    d = _t(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    gram_arr = F.when(
+        F.size(toks) >= CONTAIN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - CONTAIN_K + 1),
+            lambda i: F.array_join(F.slice(toks, i, CONTAIN_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        toks_df.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .select("doc_id", TS.char_poly_hash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    df_counts = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gh").asc())
+    pos = sh.join(df_counts, "gh").select(
+        "doc_id",
+        "gh",
+        F.row_number().over(w_doc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    ceil_t_sz = F.floor(
+        (F.lit(CONTAIN_NUM) * F.col("sz") + F.lit(CONTAIN_DEN - 1)) / F.lit(CONTAIN_DEN)
+    )
+    prefix = pos.filter(
+        (F.col("sz") >= CONTAIN_MIN_SHINGLES)
+        & (F.col("pos") <= F.col("sz") - ceil_t_sz + 1)
+    ).select("doc_id", "gh")
+    cands = (
+        prefix.alias("a")
+        .join(sh.alias("b"), "gh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_sup"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("gh").alias("hs"))
+    a = sets.select(F.col("doc_id").alias("doc_sub"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_sup"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    sz_a = F.size(F.col("ha"))
+    return (
+        cands.join(a, "doc_sub")
+        .join(b, "doc_sup")
+        .filter(
+            (sz_a >= CONTAIN_MIN_SHINGLES) & (inter * CONTAIN_DEN >= sz_a * CONTAIN_NUM)
+        )
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.round(inter / sz_a.cast("double"), 6).alias("containment"),
+        )
+    )
+
+
+def _duck_containment_sql() -> str:
+    k = CONTAIN_K
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(arr) >= {k}
+    THEN list_transform(generate_series(1, len(arr) - {k - 1}),
+                        i -> array_to_string(arr[i:i+{k - 1}], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tok
+), sh AS (
+  SELECT DISTINCT doc_id, {_duck_poly("gram")} AS gh FROM grams
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, count(*) AS common
+  FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_sub, doc_sup, round(common / CAST(sa.sz AS DOUBLE), 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_sub
+WHERE sa.sz >= {CONTAIN_MIN_SHINGLES} AND common * {CONTAIN_DEN} >= sa.sz * {CONTAIN_NUM}
+"""
+
+
+DUP_GRAM_N = 5  # token-gram width for substring-duplication detection
+
+
+def docs_dup_ngram_fraction(spark, sf_dir):
+    """Substring-level duplication signal (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' ExactSubstr
+    criterion, at token-gram granularity): per document, the fraction of
+    its 5-token-gram positions whose gram also occurs in ANOTHER
+    document. Doc-level dedup misses a boilerplate paragraph pasted into
+    thousands of otherwise-unique pages; this table is what a pipeline
+    thresholds to route such docs to substring clipping.
+    Scale shape: grams shuffle as 64-bit-wide poly hashes, never as
+    strings (a 5-word gram is ~30 bytes; the hash is 8 — at 10^12 docs
+    the gram table is the biggest shuffle in the whole pipeline). The
+    per-(doc, gram) count is map-side combinable; cross-doc occurrence
+    is a count over those distinct rows; the dup set joins back on the
+    same hash key. A hash collision only ever ADDs a duplicated gram,
+    and the oracle groups by the identical hash, so parity is exact."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    gram_arr = F.when(
+        F.size(toks) >= DUP_GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - DUP_GRAM_N + 1),
+            lambda i: F.array_join(F.slice(toks, i, DUP_GRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks_df.select(
+        "doc_id", F.explode(gram_arr).alias("gram")
+    ).select("doc_id", TS.char_poly_hash(F.col("gram")).alias("gh"))
+    per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("npos"))
+    # rows of per_doc_gram are distinct (doc_id, gh): count(*) per gh IS
+    # the distinct-document count, no countDistinct shuffle needed
+    dup = (
+        per_doc_gram.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    dup_per_doc = (
+        per_doc_gram.join(dup, "gh").groupBy("doc_id").agg(F.sum("npos").alias("dup"))
+    )
+    tot = per_doc_gram.groupBy("doc_id").agg(F.sum("npos").alias("total_grams"))
+    dup_grams = F.coalesce(F.col("dup"), F.lit(0)).cast("long")
+    return tot.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("total_grams").cast("long").alias("total_grams"),
+        dup_grams.alias("dup_grams"),
+        F.round(dup_grams / F.col("total_grams").cast("double"), 6).alias("dup_fraction"),
+    )
+
+
+def _duck_dup_ngram_sql() -> str:
+    n = DUP_GRAM_N
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(arr) >= {n}
+    THEN list_transform(generate_series(1, len(arr) - {n - 1}),
+                        i -> array_to_string(arr[i:i+{n - 1}], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks
+), hashed AS (
+  SELECT doc_id, {_duck_poly("gram")} AS gh FROM grams
+), per_doc AS (
+  SELECT doc_id, gh, count(*) AS npos FROM hashed GROUP BY 1, 2
+), dup AS (
+  SELECT gh FROM per_doc GROUP BY gh HAVING count(*) >= 2
+), dupd AS (
+  SELECT p.doc_id, sum(p.npos) AS dup FROM per_doc p JOIN dup USING (gh) GROUP BY 1
+), tot AS (
+  SELECT doc_id, sum(npos) AS total_grams FROM per_doc GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.total_grams AS BIGINT) AS total_grams,
+       CAST(coalesce(d.dup, 0) AS BIGINT) AS dup_grams,
+       round(coalesce(d.dup, 0) / CAST(t.total_grams AS DOUBLE), 6) AS dup_fraction
+FROM tot t LEFT JOIN dupd d USING (doc_id)
+"""
+
+
+def docs_bpe_pair_counts(spark, sf_dir):
+    """First BPE merge iteration: global frequencies of adjacent
+    CHARACTER pairs within words (the statistic byte-pair-encoding
+    greedily merges; the full trainer is this count -> merge -> recount
+    loop). Word-level ngrams (docs_ngram_counts) see tokens; this sees
+    subword structure. Top-40 deterministic. Scale shape: the pair
+    explode is a pure projection; counting is partial+final hash agg
+    (map-side combine absorbs the per-word repetition); ranking
+    pre-reduces per partition (_local_topk) before the single-reducer
+    window, so no reducer sees the full pair vocabulary."""
+    d = _t_wide(spark, sf_dir, "documents")
+    words = d.select(F.explode(TS.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("freq"))
+    reduced = _local_topk(counts, 40, [], ["freq", "pair"], [False, True])
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair").asc())
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("pair", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+DOCS_BPE_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM toks WHERE len(w) >= 2
+), counts AS (
+  SELECT pair, count(*) AS freq FROM pairs GROUP BY pair
+)
+SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair ASC) AS rk
+FROM counts QUALIFY rk <= 40
+"""
+
+
+def docs_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF top-3 terms (tf * ln(N/df), the classic
+    relevance weighting): the keyword table a corpus search/labeling
+    pipeline materializes. Scale shape: tf is a (doc, word) partial+final
+    agg; df derives from tf's distinct rows (count per word, no second
+    corpus scan); the scalar N broadcast-crosses; the per-doc ranking
+    pre-reduces to a local top-3 per doc per partition before the
+    window, so reducers see <= 3 * n_partitions rows per doc, not the
+    doc's full vocabulary. Both engines order by the ROUNDED score
+    (6 dp) so the cross-engine ranking cannot diverge on sub-epsilon
+    float noise."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    reduced = _local_topk(
+        scored, 3, ["doc_id"], ["doc_id", "score", "word"], [True, False, True]
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+DOCS_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, word, round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, score,
+       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rk
+FROM scored QUALIFY rk <= 3
+"""
+
+
+def docs_source_dedup_stats(spark, sf_dir):
+    """Per-source (per-domain, at web scale) corpus health table: doc
+    count, exact-duplicate count (docs minus distinct content
+    fingerprints), dup rate, mean quality — the table a pipeline ranks
+    to find domains worth blocklisting (mirror floods, low-quality
+    farms). One scan; fingerprint via the Arrow poly-hash kernel;
+    everything else partial+final agg keyed by source."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        HK.poly_hash_kernel(F.col("text")).alias("fp"),
+        TS.quality_score(F.col("text")).alias("q"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "mean_quality",
+        )
+    )
+
+
+def _duck_source_dedup_sql() -> str:
+    return rf"""
+WITH b AS (
+  SELECT source, {_duck_poly("text")} AS fp, text,
+         length(text) AS n,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+         length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+  FROM documents
+), scored AS (
+  SELECT source, fp,
+         round((
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw > 0 AND n_nospace / CAST(nw AS DOUBLE) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE (n - n_keep) / CAST(n AS DOUBLE) END) <= 0.2
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw >= 5 THEN 1.0 ELSE 0.0 END)
+         ) / 4.0, 4) AS q
+  FROM b
+)
+SELECT source, count(*) AS n_docs,
+       count(*) - count(DISTINCT fp) AS n_dup_docs,
+       round((count(*) - count(DISTINCT fp)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       round(avg(q), 6) AS mean_quality
+FROM scored GROUP BY source
+"""
