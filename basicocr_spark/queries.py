@@ -2651,7 +2651,10 @@ def docs_containment_pairs(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     sh = (
         toks_df.select("doc_id", F.explode(gram_arr).alias("gram"))
-        .select("doc_id", TS.char_poly_hash(F.col("gram")).alias("gh"))
+        # Arrow poly-hash kernel, not the interpreted Catalyst fold —
+        # bit-identical (pinned in test_hash_kernels) and this per-gram
+        # projection is the query's hottest column op
+        .select("doc_id", HK.poly_hash_kernel(F.col("gram")).alias("gh"))
         .distinct()
     )
     df_counts = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
@@ -2753,7 +2756,7 @@ def docs_dup_ngram_fraction(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     grams = toks_df.select(
         "doc_id", F.explode(gram_arr).alias("gram")
-    ).select("doc_id", TS.char_poly_hash(F.col("gram")).alias("gh"))
+    ).select("doc_id", HK.poly_hash_kernel(F.col("gram")).alias("gh"))
     per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("npos"))
     # rows of per_doc_gram are distinct (doc_id, gh): count(*) per gh IS
     # the distinct-document count, no countDistinct shuffle needed

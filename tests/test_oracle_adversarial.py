@@ -35,6 +35,20 @@ ADV_DOCS = [
     # phone-shaped run overlapping an email match: the email eats
     # '0142@...' so NO phone redaction happens — counts must agree
     (11, "call 555-0142@example.com now", "en"),
+    # byte-identical twin of doc 12 (below) so per-source dup counting
+    # and containment C=1.0 both fire; long enough for >= 5 shingles
+    (12, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+    (13, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+    # superset page embedding doc 12's text verbatim (containment sub)
+    (14, "intro words alpha beta gamma delta epsilon zeta eta theta closing remark", "en"),
+]
+
+# source assignment for the per-source dedup stats: the twin pair lands
+# in one source (dup_rate > 0), everything else alternates
+ADV_SOURCES = {12: "mirror.example", 13: "mirror.example"}
+ADV_DOCS = [
+    (i, t, lang, ADV_SOURCES.get(i, f"site{i % 3}.example"))
+    for (i, t, lang) in ADV_DOCS
 ]
 
 ADV_EMB = [
@@ -61,6 +75,11 @@ DOC_QUERIES = [
     "docs_strip_large_dict",
     "docs_minhash_lsh_pairs_cjk",
     "docs_simhash_near_dup",
+    "docs_containment_pairs",
+    "docs_dup_ngram_fraction",
+    "docs_bpe_pair_counts",
+    "docs_tfidf_top_terms",
+    "docs_source_dedup_stats",
 ]
 EMB_QUERIES = ["emb_norms", "emb_cosine_topk", "emb_near_dup_cosine"]
 
@@ -68,9 +87,9 @@ EMB_QUERIES = ["emb_norms", "emb_cosine_topk", "emb_near_dup_cosine"]
 @pytest.fixture(scope="module")
 def adv_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("adv_sf"))
-    spark.createDataFrame(ADV_DOCS, "doc_id long, text string, lang string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    spark.createDataFrame(
+        ADV_DOCS, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     spark.createDataFrame(
         ADV_EMB, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))

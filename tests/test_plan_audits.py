@@ -162,3 +162,38 @@ def test_q1_single_shuffle_partial_agg(spark):
     plan = qm["q1_pricing_summary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
+
+
+def test_gram_queries_shuffle_hashes_not_strings(spark):
+    """docs_dup_ngram_fraction / docs_containment_pairs: gram STRINGS
+    must never cross an Exchange — every shuffle key set is the 64-bit
+    poly hash (a 5-word gram is ~30 bytes; at 10^12 docs the gram table
+    is the pipeline's largest shuffle). The gram column may only appear
+    in the pre-shuffle Generate/Project stage feeding the hash kernel."""
+    for df in (
+        Q.docs_dup_ngram_fraction(spark, SF),
+        Q.docs_containment_pairs(spark, SF),
+    ):
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "gram#" not in line, line
+        # the hash projection is the Arrow kernel, not the interpreted
+        # Catalyst per-char fold
+        assert "poly_hash_batch" in plan
+        assert "ascii(" not in plan
+
+
+def test_subword_rankings_prereduce_before_window(spark):
+    """docs_bpe_pair_counts / docs_tfidf_top_terms: the global/per-doc
+    ranking window must consume the _local_topk MapInPandas survivors,
+    not the full counts table (toString prints top-down, so the
+    pre-reduction must appear BELOW — at a higher index than — the
+    Window it feeds)."""
+    for df in (
+        Q.docs_bpe_pair_counts(spark, SF),
+        Q.docs_tfidf_top_terms(spark, SF),
+    ):
+        plan = _plan(df)
+        assert "MapInPandas" in plan and "Window" in plan
+        assert plan.index("Window") < plan.index("MapInPandas"), plan
