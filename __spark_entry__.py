@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pair_counts": Q.docs_bpe_pair_counts,
         "docs_tfidf_top_terms": Q.docs_tfidf_top_terms,
         "docs_source_dedup_stats": Q.docs_source_dedup_stats,
+        "docs_boilerplate_extract": Q.docs_boilerplate_extract,
+        "docs_repetition_stats": Q.docs_repetition_stats,
+        "docs_stratified_sample": Q.docs_stratified_sample,
+        "emb_scalar_quantize": Q.emb_scalar_quantize,
         # relational core (SURVEY.md §2.3/2.4/2.5/2.6)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue_band": Q.q6_revenue_band,
@@ -215,6 +219,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_pair_counts": Q.DOCS_BPE_PAIRS_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
+        "docs_boilerplate_extract": Q._duck_boilerplate_sql(),
+        "docs_repetition_stats": Q.DOCS_REPETITION_SQL,
+        "docs_stratified_sample": Q.DOCS_STRATIFIED_SQL,
+        "emb_scalar_quantize": Q.EMB_SCALAR_QUANTIZE_SQL,
         "docs_minhash_lsh_pairs_cjk": Q._duck_minhash_cjk_sql(),
         "docs_ngram_counts": Q._duck_ngram_counts_sql(),
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,

@@ -24,7 +24,9 @@ generation + verification, contrib/trietree/src/trietree_correct.py:
 
 from __future__ import annotations
 
+import math
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -354,3 +356,64 @@ def shingle_hash_sets_df(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=f"{id_col} {id_type}, sh array<long>")
+
+
+def _round6_half_up(x: float) -> float:
+    """Round-half-up at 6 decimals — the rule Spark's F.round and
+    DuckDB's round() share for non-negative doubles (Python's built-in
+    round is banker's and WOULD diverge on exact .5 digit-7 ties like
+    1/128 = 0.0078125)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def repetition_stats_batch(texts: list[str | None]) -> list[tuple]:
+    """Per-document repetition statistics (the Gopher-family repetition
+    filters, Rae et al. 2021 §A1.1): most-frequent-word mass fraction
+    and duplicate word-2/3-gram fractions, one O(n) Counter pass per
+    document. None/empty -> all-zero row."""
+    out = []
+    for t in texts:
+        toks = _tokens(t)
+        n = len(toks)
+        if n == 0:
+            out.append((0, 0.0, 0.0, 0.0))
+            continue
+        top = _round6_half_up(max(Counter(toks).values()) / n)
+        fr = []
+        for k in (2, 3):
+            total = n - k + 1
+            if total <= 0:
+                fr.append(0.0)
+                continue
+            distinct = len({tuple(toks[i : i + k]) for i in range(total)})
+            fr.append(_round6_half_up(1.0 - distinct / total))
+        out.append((n, top, fr[0], fr[1]))
+    return out
+
+
+def repetition_stats_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, top_word_frac, dup_2gram_frac, dup_3gram_frac) in
+    one Arrow pass — a pure projection over the scan (zero shuffle; the
+    per-doc Counter never leaves the executor)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_words long, top_word_frac double, "
+        "dup_2gram_frac double, dup_3gram_frac double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = repetition_stats_batch(pdf[text_col].tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": [r[0] for r in rows],
+                    "top_word_frac": [r[1] for r in rows],
+                    "dup_2gram_frac": [r[2] for r in rows],
+                    "dup_3gram_frac": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

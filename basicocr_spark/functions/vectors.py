@@ -9,6 +9,8 @@ cross-engine top-k stable.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -166,3 +168,91 @@ def hyperplane_sign_bucket(a: Column, num_planes: int = 8, plane_offset: int = 0
         )
         bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
     return bucket
+
+
+def minmax_partials_df(df, vec_col: str = "embedding"):
+    """Per-partition element-wise min/max arrays: ONE partial row per
+    input partition (vs the n x d posexplode). The tiny partial table
+    (#partitions rows) feeds the final per-dimension combine — the same
+    two-level shape as group_vector_sums_df. Null vectors contribute
+    nothing; ragged vectors only to the dimensions they have."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("mins", T.ArrayType(T.DoubleType())),
+            T.StructField("maxs", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        mn = mx = None
+        for pdf in batches:
+            arrs = [
+                np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None
+            ]
+            if not arrs:
+                continue
+            width = max(len(a) for a in arrs)
+            bmn = np.full(width, np.inf)
+            bmx = np.full(width, -np.inf)
+            if all(len(a) == width for a in arrs):  # rectangular fast path
+                M = np.stack(arrs)
+                bmn = M.min(axis=0)
+                bmx = M.max(axis=0)
+            else:
+                for a in arrs:
+                    bmn[: len(a)] = np.minimum(bmn[: len(a)], a)
+                    bmx[: len(a)] = np.maximum(bmx[: len(a)], a)
+            if mn is None:
+                mn, mx = bmn, bmx
+            else:
+                if len(mn) < width:
+                    mn = np.pad(mn, (0, width - len(mn)), constant_values=np.inf)
+                    mx = np.pad(mx, (0, width - len(mx)), constant_values=-np.inf)
+                elif width < len(mn):
+                    bmn = np.pad(bmn, (0, len(mn) - width), constant_values=np.inf)
+                    bmx = np.pad(bmx, (0, len(mx) - width), constant_values=-np.inf)
+                mn = np.minimum(mn, bmn)
+                mx = np.maximum(mx, bmx)
+        if mn is not None:
+            yield pd.DataFrame({"mins": [mn], "maxs": [mx]})
+
+    return df.select(vec_col).mapInPandas(gen, schema=schema)
+
+
+def quantize_errors_df(df, vec_col: str, mins_col: str, maxs_col: str, id_col: str):
+    """Per-vector int8 scalar quantization against global per-dim
+    [min, max]: code = floor((v - mn) / (mx - mn) * 255 + 0.5)
+    (constant dims -> code 0), emitting the integer code sum (an exact
+    cross-engine checksum) and the reconstruction MSE. One Arrow pass;
+    the mins/maxs arrays arrive via a broadcast single-row cross join."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, code_sum long, mse double"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums, mses = [], [], []
+            for vid, v, mn, mx in zip(
+                pdf[id_col], pdf[vec_col], pdf[mins_col], pdf[maxs_col]
+            ):
+                a = np.asarray(v, dtype=np.float64)
+                m0 = np.asarray(mn, dtype=np.float64)[: len(a)]
+                m1 = np.asarray(mx, dtype=np.float64)[: len(a)]
+                rng = m1 - m0
+                safe = rng != 0.0
+                t = np.where(safe, (a - m0) / np.where(safe, rng, 1.0), 0.0)
+                code = np.floor(t * 255.0 + 0.5)
+                recon = m0 + code * rng / 255.0
+                err = a - recon
+                ids.append(vid)
+                sums.append(int(code.sum()))
+                # fsum: correctly-rounded, so the result can't drift
+                # with numpy's partition-dependent pairwise-sum order
+                mses.append(math.fsum(err * err) / len(a) if len(a) else 0.0)
+            yield pd.DataFrame({id_col: ids, "code_sum": sums, "mse": mses})
+
+    return df.mapInPandas(gen, schema=schema)

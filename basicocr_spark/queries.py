@@ -2976,3 +2976,226 @@ SELECT source, count(*) AS n_docs,
        round(avg(q), 6) AS mean_quality
 FROM scored GROUP BY source
 """
+
+
+# Lift literals for the corpus-scale boilerplate query: the same
+# nav/footer chrome the flagship entry() wraps around every document
+# (see __spark_entry__.interleave_documents), so this query scores the
+# exact block mix the extraction pipeline sees.
+BP_NAV = '<div class="nav"><a href="/home">home</a> <a href="/about">about</a></div>'
+BP_FOOTER = '<div class="footer">all rights reserved</div>'
+
+
+def docs_boilerplate_extract(spark, sf_dir):
+    """North-rule main-content extraction at corpus scale: lift every
+    document into an HTML page (nav + <p>body</p> + footer, the same
+    chrome entry() interleaves), then run the Readability-style block
+    scorer (text density + class weights - 50x link density,
+    operators/boilerplate.py) and keep only positive blocks. Pure
+    Catalyst column math over one scan - whole-stage codegen, zero
+    shuffle, zero Python: at 100 TB this is a map over the scan. The
+    DuckDB oracle re-implements the full scoring pipeline with list
+    lambdas, so the keep/drop decision itself is cross-engine checked
+    (the seeded-fixture `boilerplate` entry checks reference-constant
+    parity; this checks the corpus-scale column expression)."""
+    from .operators.boilerplate import block_score, extract_main_text
+
+    d = _t_wide(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(BP_NAV + "\n<p>"), F.col("text"), F.lit("</p>\n" + BP_FOOTER)
+    )
+    blocks = F.split(html, "\n")
+    n_kept = F.size(F.filter(blocks, lambda b: block_score(b) > 0))
+    return d.select(
+        "doc_id",
+        extract_main_text(html, []).alias("main_text"),
+        n_kept.cast("long").alias("n_blocks_kept"),
+    )
+
+
+def _duck_boilerplate_sql() -> str:
+    tl = lambda x: (
+        f"trim(regexp_replace(regexp_replace({x}, '<[^>]*>', '', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )
+    wc = (
+        f"(CASE WHEN {tl('x')} = '' THEN 0 "
+        f"ELSE len(string_split_regex({tl('x')}, '\\s+')) END)"
+    )
+    link_len = (
+        "coalesce(list_aggregate(list_transform("
+        "regexp_extract_all(x, '(?s)<a\\b[^>]*>(.*?)</a>', 1), "
+        f"s -> length({tl('s')})), 'sum'), 0)"
+    )
+    score = (
+        f"({wc} + (CASE WHEN contains(x, '<p>') OR contains(x, 'class=\"content\"') "
+        "THEN 25 ELSE 0 END) "
+        "- (CASE WHEN contains(x, '<li>') OR "
+        "regexp_matches(x, 'class=\"(nav|footer|sidebar)\"') THEN 25 ELSE 0 END) "
+        f"- 50.0 * {link_len} / greatest(length({tl('x')}), 1))"
+    )
+    return f"""
+WITH lifted AS (
+  SELECT doc_id,
+         '{BP_NAV}' || chr(10) || '<p>' || text || '</p>' || chr(10) || '{BP_FOOTER}' AS html
+  FROM documents
+), k AS (
+  SELECT doc_id,
+         list_filter(string_split(html, chr(10)), x -> {score} > 0) AS kept
+  FROM lifted
+)
+SELECT doc_id,
+       trim(regexp_replace(coalesce(array_to_string(list_filter(list_transform(kept, x -> {tl('x')}), t -> t <> ''), ' '), ''), '\\s+', ' ', 'g')) AS main_text,
+       CAST(len(kept) AS BIGINT) AS n_blocks_kept
+FROM k
+"""
+
+
+def docs_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition filter (Rae et al. 2021 §A1.1): per-doc
+    most-frequent-word mass fraction plus duplicate word-2/3-gram
+    fractions, and the keep/drop verdict a quality pipeline anti-joins
+    against the corpus. One Arrow kernel pass per document — a pure
+    projection over the scan with ZERO shuffle (the per-doc Counter
+    lives and dies inside the executor), where the SQL formulation
+    needs an explode + two gram self-aggregations. At 100 TB this
+    filter is free relative to the scan it rides."""
+    d = _t_wide(spark, sf_dir, "documents")
+    stats = HK.repetition_stats_df(d, "doc_id", "text")
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("top_word_frac") <= 0.3)
+        & (F.col("dup_2gram_frac") <= 0.2)
+        & (F.col("dup_3gram_frac") <= 0.18)
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        keep.cast("long").alias("keep"),
+    )
+
+
+DOCS_REPETITION_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+              i -> w[i] || chr(31) || w[i + 1]) ELSE [] END AS g2,
+         CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+              i -> w[i] || chr(31) || w[i + 1] || chr(31) || w[i + 2]) ELSE [] END AS g3
+  FROM l
+), tf AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS word FROM g) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+), s AS (
+  SELECT g.doc_id, g.n,
+         CASE WHEN g.n = 0 THEN 0.0 ELSE round(tf.topc / CAST(g.n AS DOUBLE), 6) END AS top_word_frac,
+         CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) END AS dup_2gram_frac,
+         CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6) END AS dup_3gram_frac
+  FROM g LEFT JOIN tf ON g.doc_id = tf.doc_id
+)
+SELECT doc_id, n AS n_words, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+       CAST(CASE WHEN n >= 5 AND top_word_frac <= 0.3
+                  AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+def emb_scalar_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (the standard
+    4x ANN index compression; Jegou et al.'s SQ baseline): global
+    per-dimension [min, max] -> code = floor((v-mn)/(mx-mn)*255 + 0.5),
+    reporting each vector's integer code checksum and reconstruction
+    MSE. Scale shape: per-partition element-wise min/max partials (one
+    row per partition, NOT the n x d posexplode), a #partitions-row
+    combine, then the codes in one Arrow pass with the d-row bounds
+    table broadcast — two scans, zero wide shuffle."""
+    e = _t_wide(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    partials = V.minmax_partials_df(e, "embedding")
+    mm = partials.select(
+        F.posexplode(F.arrays_zip(F.col("mins"), F.col("maxs"))).alias("dim", "z")
+    ).select("dim", F.col("z.mins").alias("mn"), F.col("z.maxs").alias("mx"))
+    bounds = (
+        mm.groupBy("dim")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("z"))
+        .select(
+            F.transform("z", lambda s: s.mn).alias("mns"),
+            F.transform("z", lambda s: s.mx).alias("mxs"),
+        )
+    )
+    joined = e.crossJoin(F.broadcast(bounds))
+    out = V.quantize_errors_df(joined, "embedding", "mns", "mxs", "vec_id")
+    return out.select("vec_id", "code_sum", F.round("mse", 6).alias("mse"))
+
+
+EMB_SCALAR_QUANTIZE_SQL = """
+WITH dims AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+), mm AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim
+), q AS (
+  SELECT vec_id, d.v, mn, mx,
+         CASE WHEN mx = mn THEN 0.0
+              ELSE floor((d.v - mn) / (mx - mn) * 255 + 0.5) END AS code
+  FROM dims d JOIN mm USING (dim)
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       round(avg(pow(v - (mn + code * (mx - mn) / 255), 2)), 6) AS mse
+FROM q GROUP BY vec_id
+"""
+
+
+STRATA_RATES = {"en": 8, "zh": 5, "de": 3}  # keep k of 10 buckets per lang
+STRATA_DEFAULT_RATE = 2
+
+
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampler: each language
+    keeps k-of-10 hash buckets (en 80%, zh 50%, de 30%, other 20%) via
+    the same engine-stable modular bucketing as docs_split_sample — the
+    downsampling step that rebalances a web corpus's language mix
+    before training. Pure column math + one partial+final agg; the
+    per-row verdict never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * 2654435761 % MOD, F.lit(10))
+    rate = F.lit(STRATA_DEFAULT_RATE)
+    for lang, k in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, k).otherwise(rate)
+    kept = d.select("lang", (bucket < rate).cast("long").alias("keep"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("kept_rate"),
+    )
+
+
+DOCS_STRATIFIED_SQL = rf"""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN ((doc_id * 2654435761) % {MOD}) % 10 <
+                   (CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 5
+                              WHEN 'de' THEN 3 ELSE 2 END)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS kept_rate
+FROM b GROUP BY lang
+"""

@@ -131,6 +131,8 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             "docs_pii_scrub",
             "events_asof_join",
             "docs_dedup_keep_best",
+            "docs_boilerplate_extract",
+            "docs_repetition_stats",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —

@@ -80,8 +80,16 @@ DOC_QUERIES = [
     "docs_bpe_pair_counts",
     "docs_tfidf_top_terms",
     "docs_source_dedup_stats",
+    "docs_boilerplate_extract",
+    "docs_repetition_stats",
+    "docs_stratified_sample",
 ]
-EMB_QUERIES = ["emb_norms", "emb_cosine_topk", "emb_near_dup_cosine"]
+EMB_QUERIES = [
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_near_dup_cosine",
+    "emb_scalar_quantize",
+]
 
 
 @pytest.fixture(scope="module")

@@ -197,3 +197,37 @@ def test_subword_rankings_prereduce_before_window(spark):
         plan = _plan(df)
         assert "MapInPandas" in plan and "Window" in plan
         assert plan.index("Window") < plan.index("MapInPandas"), plan
+
+
+def test_boilerplate_extract_pure_codegen_map(spark):
+    """docs_boilerplate_extract: the whole score->keep->join pipeline is
+    Catalyst column math — no Python eval node, no aggregation, and the
+    only Exchange is the sandbox round-robin spread standing in for scan
+    parallelism (never a hash shuffle)."""
+    plan = _plan(Q.docs_boilerplate_extract(spark, SF))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """docs_repetition_stats: one Arrow kernel projection over the scan;
+    the per-doc Counter never leaves the executor, so the plan has no
+    hash Exchange and no aggregate (the SQL formulation needs an explode
+    plus two gram self-aggregations)."""
+    plan = _plan(Q.docs_repetition_stats(spark, SF))
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_scalar_quantize_no_wide_explode(spark):
+    """emb_scalar_quantize: the n x d posexplode must only ever run on
+    the #partitions-row PARTIALS table, never on the embeddings scan —
+    exactly one Generate node, with both the bounds build and the code
+    pass as Arrow kernels."""
+    plan = _plan(Q.emb_scalar_quantize(spark, SF))
+    assert plan.count("Generate") == 1
+    assert plan.count("MapInPandas") == 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
