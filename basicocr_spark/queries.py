@@ -3199,3 +3199,66 @@ SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
        round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS kept_rate
 FROM b GROUP BY lang
 """
+
+
+PACK_CTX = 512  # tokens per packed training sequence
+
+
+def docs_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (concat-and-chunk): lay every document
+    out back-to-back in deterministic doc_id order and cut the stream
+    into PACK_CTX-token training sequences, reporting per-chunk document
+    coverage — the batch-shaping step between a cleaned corpus and a
+    trainer. The global token offset comes from operators/prefix.py's
+    two-pass range-partitioned prefix sum, NOT a bare
+    Window.orderBy(doc_id) (whose single window partition IS the job at
+    10^12 docs); each doc then expands to only the chunks it overlaps
+    (sequence explode bounded by doc length / CTX)."""
+    from .operators.prefix import with_prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TS.token_count(F.col("text")).alias("nt")).filter(
+        F.col("nt") > 0
+    )
+    cum = with_prefix_sum(toks, "doc_id", "nt", "cum")
+    start_chunk = F.floor((F.col("cum") - F.col("nt")) / F.lit(float(PACK_CTX)))
+    end_chunk = F.floor((F.col("cum") - 1) / F.lit(float(PACK_CTX)))
+    spans = cum.select(
+        F.explode(F.sequence(start_chunk, end_chunk)).alias("chunk_id")
+    )
+    tot = toks.groupBy().agg(F.sum("nt").alias("total"))
+    return (
+        spans.groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "chunk_id",
+            "n_docs",
+            F.least(
+                F.lit(PACK_CTX), F.col("total") - F.col("chunk_id") * PACK_CTX
+            ).alias("n_tokens"),
+        )
+    )
+
+
+DOCS_PACK_SQL = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents
+), nz AS (
+  SELECT * FROM b WHERE nt > 0
+), c AS (
+  SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM nz
+), spans AS (
+  SELECT unnest(generate_series(CAST(floor((cum - nt) / {PACK_CTX}.0) AS BIGINT),
+                                CAST(floor((cum - 1) / {PACK_CTX}.0) AS BIGINT))) AS chunk_id
+  FROM c
+), tot AS (
+  SELECT sum(nt) AS total FROM nz
+)
+SELECT chunk_id, count(*) AS n_docs,
+       CAST(least({PACK_CTX}, total - chunk_id * {PACK_CTX}) AS BIGINT) AS n_tokens
+FROM spans, tot GROUP BY chunk_id, total
+"""

@@ -83,6 +83,7 @@ DOC_QUERIES = [
     "docs_boilerplate_extract",
     "docs_repetition_stats",
     "docs_stratified_sample",
+    "docs_pack_sequences",
 ]
 EMB_QUERIES = [
     "emb_norms",
