@@ -1,64 +1,81 @@
-"""Bucketed tables co-locate joins: writing both join sides bucketed by
-the key lets the sort-merge join run with ZERO Exchange — the 100 TB
-pattern for repeated fact-fact joins (SURVEY.md §4 'explicit code')."""
+"""Bucketed tables co-locate their joins: writing both sides bucketed
+by the join key lets a sort-merge join run with ZERO Exchange — the
+standard trick for a fact table that is joined on the same key every
+day (at 100 TB the avoided shuffle is most of the job). Pinned here
+because it is a property of the WRITE path (sources/files has the
+reader story; this is the layout story): same bucket count, same key,
+spark.sql.sources.bucketing.enabled on (default)."""
+
+import os
+import sys
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="module")
 def bucketed(spark, tmp_path_factory):
-    # warehouse dir is a static conf — use the session default (cwd
-    # spark-warehouse, gitignored) and clean the tables up after
-    li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    orders = spark.read.parquet(f"{SF}/orders.parquet")
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    (
-        li.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("li_b")
+    """Two tables bucketed 8 ways by doc_id in a throwaway database."""
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("score")
     )
-    (
-        orders.withColumnRenamed("o_orderkey", "l_orderkey")
-        .write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("ord_b")
+    stats = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("n_dups")
     )
-    yield spark
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    for name, df in (("docs", docs), ("stats", stats)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{db}.{name}")
+        )
+    yield db
+    spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
-def test_bucketed_join_has_no_exchange(bucketed):
-    spark = bucketed
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    db = bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the test exercises the big-big join shape the
+    # layout exists for (two 100 TB sides, neither broadcastable)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = (
-            spark.table("li_b")
-            .join(spark.table("ord_b"), "l_orderkey")
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        joined = spark.table(f"{db}.docs").join(spark.table(f"{db}.stats"), "doc_id")
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        # join itself must not shuffle either side (bucket co-location);
-        # only the final groupBy aggregation may exchange
-        join_part = plan.split("HashAggregate")[-1]
-        assert "Exchange" not in join_part, join_part[:800]
-        # and it must still be correct
-        n = joined.agg(F.sum("n")).first()[0]
-        want = (
-            spark.read.parquet(f"{SF}/lineitem.parquet")
-            .join(
-                spark.read.parquet(f"{SF}/orders.parquet"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .count()
-        )
-        assert n == want
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed):
+    """groupBy on the bucket key reuses the layout too: partial+final
+    collapse into one stage with no shuffle."""
+    db = bucketed
+    agg = spark.table(f"{db}.docs").groupBy("doc_id").agg(F.sum("score").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 10_000
+
+
+def test_unbucketed_baseline_does_shuffle(spark):
+    """Control: the identical join over plain DataFrames shuffles both
+    sides (broadcast disabled to force the comparison), proving the
+    bucketed layout is what removed the Exchange."""
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    stats = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            docs.join(stats, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" in plan
