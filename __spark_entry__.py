@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": Q.docs_stratified_sample,
         "emb_scalar_quantize": Q.emb_scalar_quantize,
         "docs_pack_sequences": Q.docs_pack_sequences,
+        "docs_incremental_dedup": Q.docs_incremental_dedup,
         # relational core (SURVEY.md §2.3/2.4/2.5/2.6)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue_band": Q.q6_revenue_band,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": Q.DOCS_STRATIFIED_SQL,
         "emb_scalar_quantize": Q.EMB_SCALAR_QUANTIZE_SQL,
         "docs_pack_sequences": Q.DOCS_PACK_SQL,
+        "docs_incremental_dedup": Q._duck_incremental_sql(),
         "docs_minhash_lsh_pairs_cjk": Q._duck_minhash_cjk_sql(),
         "docs_ngram_counts": Q._duck_ngram_counts_sql(),
         "docs_jaccard_pairs": Q.DOCS_JACCARD_SQL,

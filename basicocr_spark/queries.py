@@ -1048,13 +1048,12 @@ def _minhash_sigs(d):
     return HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3)
 
 
-def _band_candidates(sigs, id_col: str, out_a: str, out_b: str, observation=None):
-    """(id, mh0..mh{N-1}) -> distinct candidate id pairs (out_a < out_b)
-    sharing any band bucket. Band sig = poly fold of the band's
-    minhashes mod MOD (BAND_MULT multiplier) — a rare fold collision
-    only ADDs a candidate, which downstream verification filters.
-    Single source of truth for the band scheme; the DuckDB oracles
-    mirror it."""
+def _banded_sigs(sigs, id_col: str):
+    """(id, mh0..mh{N-1}) -> (id, band, sig) rows. Band sig = poly fold
+    of the band's minhashes mod MOD (BAND_MULT multiplier) — a rare
+    fold collision only ADDs a candidate, which downstream verification
+    filters. Single source of truth for the band scheme; the DuckDB
+    oracles mirror it."""
     bands = []
     for bi in range(N_MINHASH // BAND_SIZE):
         lo = bi * BAND_SIZE
@@ -1062,9 +1061,15 @@ def _band_candidates(sigs, id_col: str, out_a: str, out_b: str, observation=None
         for o in range(1, BAND_SIZE):
             band_sig = (band_sig * F.lit(BAND_MULT) + F.col(f"mh{lo + o}")) % F.lit(MOD)
         bands.append(F.struct(F.lit(bi).alias("band"), band_sig.alias("sig")))
-    banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
+    return sigs.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
+
+
+def _band_candidates(sigs, id_col: str, out_a: str, out_b: str, observation=None):
+    """(id, mh0..mh{N-1}) -> distinct candidate id pairs (out_a < out_b)
+    sharing any band bucket (see _banded_sigs for the band scheme)."""
+    banded = _banded_sigs(sigs, id_col)
     return _bucket_pair_join(
         banded, id_col, out_a, out_b, cap=LSH_BUCKET_CAP, observation=observation
     )
@@ -1186,7 +1191,9 @@ def _duck_shingle_expr(k: int, arr: str | None = None) -> str:
     )
 
 
-def _duck_minhash_sql(arr: str | None = None, source: str = "documents") -> str:
+def _duck_banded_cte(arr: str | None = None, source: str = "documents") -> str:
+    """The hashes/sigs/banded WITH-clause body shared by every minhash
+    oracle — the SQL twin of minhash_signatures_df + _banded_sigs."""
     shingle = _duck_shingle_expr(3, arr)
     ph = (
         f"list_transform({shingle}, s -> "
@@ -1206,14 +1213,18 @@ def _duck_minhash_sql(arr: str | None = None, source: str = "documents") -> str:
         for o in range(1, BAND_SIZE):
             sig = f"(({sig}) * {BAND_MULT} + mh{lo + o}) % {MOD}"
         bands.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs")
-    return f"""
-WITH hashes AS (
+    return f"""hashes AS (
   SELECT doc_id, {ph} AS hs FROM {source}
 ), sigs AS (
   SELECT doc_id, {", ".join(mh)} FROM hashes
 ), banded AS (
   {" UNION ALL ".join(bands)}
-)
+)"""
+
+
+def _duck_minhash_sql(arr: str | None = None, source: str = "documents") -> str:
+    return f"""
+WITH {_duck_banded_cte(arr, source)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -3261,4 +3272,91 @@ WITH b AS (
 SELECT chunk_id, count(*) AS n_docs,
        CAST(least({PACK_CTX}, total - chunk_id * {PACK_CTX}) AS BIGINT) AS n_tokens
 FROM spans, tot GROUP BY chunk_id, total
+"""
+
+
+INCR_MOD = 5  # doc_id % 5 == 0 -> the "incoming" batch (20%)
+
+
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup — the production shape for a recurring
+    crawl: an INCOMING batch (a deterministic 20% doc_id slice) checked
+    against the COMMITTED corpus (the other 80%) instead of a full-
+    corpus self-join. Two layers: (1) exact — the incoming fingerprint
+    semi-joined against the distinct committed fingerprint store (at
+    scale: a bucketed/Iceberg table keyed by fingerprint, so this join
+    co-locates); (2) near — minhash band buckets joined incoming x
+    committed (two-sided, so each batch only ever pays
+    O(batch x collisions), never the corpus self-join). Verdict
+    precedence: exact_dup > near_dup_candidate > new; candidates then
+    feed the same exact-Jaccard verification as docs_near_dup_verified.
+    Arrow kernels for fingerprints and signatures; the only wide ops
+    are the fp semi-join and the band equi-join."""
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % INCR_MOD == 0)
+    committed = d.filter(F.col("doc_id") % INCR_MOD != 0)
+
+    fp_in = incoming.select("doc_id", HK.poly_hash_kernel(F.col("text")).alias("fp"))
+    fp_com = committed.select(HK.poly_hash_kernel(F.col("text")).alias("fp")).distinct()
+    exact = (
+        fp_in.join(fp_com, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    banded_in = _banded_sigs(
+        HK.minhash_signatures_df(incoming, num_hashes=N_MINHASH, k=3), "doc_id"
+    )
+    banded_com = _banded_sigs(
+        HK.minhash_signatures_df(committed, num_hashes=N_MINHASH, k=3), "doc_id"
+    )
+    near = (
+        banded_in.alias("i")
+        .join(banded_com.alias("c"), ["band", "sig"])
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("c.doc_id")).alias("n_band_matches"))
+    )
+    verdict = (
+        F.when(F.col("is_exact") == 1, "exact_dup")
+        .when(F.col("n_band_matches") > 0, "near_dup_candidate")
+        .otherwise("new")
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_band_matches"), F.lit(0)).alias("n_band_matches"),
+            verdict.alias("verdict"),
+        )
+    )
+
+
+def _duck_incremental_sql() -> str:
+    return rf"""
+WITH {_duck_banded_cte()},
+fp AS (
+  SELECT doc_id, {_duck_poly("text")} AS fp FROM documents
+), inc AS (
+  SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0
+), exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM fp i JOIN fp c ON i.fp = c.fp AND c.doc_id % {INCR_MOD} != 0
+  WHERE i.doc_id % {INCR_MOD} = 0
+), near AS (
+  SELECT i.doc_id, count(DISTINCT c.doc_id) AS n
+  FROM banded i JOIN banded c
+    ON i.band = c.band AND i.sig = c.sig
+   AND i.doc_id % {INCR_MOD} = 0 AND c.doc_id % {INCR_MOD} != 0
+  GROUP BY i.doc_id
+)
+SELECT inc.doc_id,
+       CAST(coalesce(near.n, 0) AS BIGINT) AS n_band_matches,
+       CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN coalesce(near.n, 0) > 0 THEN 'near_dup_candidate'
+            ELSE 'new' END AS verdict
+FROM inc
+LEFT JOIN exact ON inc.doc_id = exact.doc_id
+LEFT JOIN near ON inc.doc_id = near.doc_id
 """

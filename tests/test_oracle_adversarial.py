@@ -41,6 +41,10 @@ ADV_DOCS = [
     (13, "alpha beta gamma delta epsilon zeta eta theta", "en"),
     # superset page embedding doc 12's text verbatim (containment sub)
     (14, "intro words alpha beta gamma delta epsilon zeta eta theta closing remark", "en"),
+    # third byte-identical copy, id % 5 == 0: lands in the INCOMING
+    # slice of docs_incremental_dedup with committed twins 12/13, so
+    # the exact_dup verdict (fingerprint semi-join layer) is exercised
+    (15, "alpha beta gamma delta epsilon zeta eta theta", "en"),
 ]
 
 # source assignment for the per-source dedup stats: the twin pair lands
@@ -84,6 +88,7 @@ DOC_QUERIES = [
     "docs_repetition_stats",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "docs_incremental_dedup",
 ]
 EMB_QUERIES = [
     "emb_norms",
@@ -138,3 +143,16 @@ def test_adversarial_parity(spark, adv_dir, adv_duck, name):
     assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
     ms, md = _multiset(sdf.columns, s_rows), _multiset(rel.columns, d_rows)
     assert ms == md, (name, [(a, b) for a, b in zip(ms, md) if a != b][:3])
+
+
+def test_incremental_dedup_verdicts_fire(spark, adv_dir):
+    """Generic parity can't tell 'both engines said new' from a real
+    exact-dup detection — pin that doc 15 (byte-identical to committed
+    twins 12/13, id in the incoming slice) takes the exact_dup verdict
+    with both band matches counted."""
+    rows = {
+        r.doc_id: (r.verdict, r.n_band_matches)
+        for r in E.queries()["docs_incremental_dedup"](spark, adv_dir).collect()
+    }
+    assert rows[15] == ("exact_dup", 2)
+    assert all(v == ("new", 0) for k, v in rows.items() if k != 15)
