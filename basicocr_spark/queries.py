@@ -2598,7 +2598,10 @@ def docs_split_sample(spark, sf_dir):
     reproducible alternative to rand(seed) that survives re-runs and
     engine changes. Emits split sizes + token totals."""
     d = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * 2654435761 % MOD, F.lit(10))
+    bucket = F.pmod((F.col("doc_id") % MOD) * 2654435761 % MOD, F.lit(10))
+    # (doc_id % MOD) first: the raw product overflows int64 at doc_id
+    # >= ~3.5e9 — Spark wraps silently, DuckDB raises; (MOD-1) *
+    # 2654435761 stays under 2^63 so both engines agree at any id
     split = (
         F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
     )
@@ -2611,8 +2614,8 @@ def docs_split_sample(spark, sf_dir):
 
 DOCS_SPLIT_SQL = rf"""
 WITH b AS (
-  SELECT CASE WHEN ((doc_id * 2654435761) % {MOD}) % 10 <= 7 THEN 'train'
-              WHEN ((doc_id * 2654435761) % {MOD}) % 10 = 8 THEN 'val'
+  SELECT CASE WHEN (((doc_id % {MOD}) * 2654435761) % {MOD}) % 10 <= 7 THEN 'train'
+              WHEN (((doc_id % {MOD}) * 2654435761) % {MOD}) % 10 = 8 THEN 'val'
               ELSE 'test' END AS split,
          CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
   FROM documents
@@ -3012,8 +3015,12 @@ def docs_boilerplate_extract(spark, sf_dir):
     from .operators.boilerplate import block_score, extract_main_text
 
     d = _t_wide(spark, sf_dir, "documents")
+    # NULL text lifts as an empty body (concat would otherwise null the
+    # whole page: Spark would emit (NULL, -1) vs the oracle's ('', 1))
     html = F.concat(
-        F.lit(BP_NAV + "\n<p>"), F.col("text"), F.lit("</p>\n" + BP_FOOTER)
+        F.lit(BP_NAV + "\n<p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>\n" + BP_FOOTER),
     )
     blocks = F.split(html, "\n")
     n_kept = F.size(F.filter(blocks, lambda b: block_score(b) > 0))
@@ -3024,14 +3031,24 @@ def docs_boilerplate_extract(spark, sf_dir):
     )
 
 
+# RE2 twin of Java's (?U)\s (Unicode White_Space) — the Spark block
+# scorer deliberately uses Unicode whitespace (boilerplate.WS_RE, to
+# stay paired with the reference on NBSP/ideographic spaces), while
+# RE2's bare \s is ASCII-only; the oracle must spell the class out.
+_DUCK_UWS = (
+    r"[\t\n\x{000B}\f\r\x{0020}\x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+
 def _duck_boilerplate_sql() -> str:
     tl = lambda x: (
         f"trim(regexp_replace(regexp_replace({x}, '<[^>]*>', '', 'g'), "
-        f"'\\s+', ' ', 'g'))"
+        f"'{_DUCK_UWS}', ' ', 'g'))"
     )
     wc = (
         f"(CASE WHEN {tl('x')} = '' THEN 0 "
-        f"ELSE len(string_split_regex({tl('x')}, '\\s+')) END)"
+        f"ELSE len(string_split_regex({tl('x')}, '{_DUCK_UWS}')) END)"
     )
     link_len = (
         "coalesce(list_aggregate(list_transform("
@@ -3048,7 +3065,7 @@ def _duck_boilerplate_sql() -> str:
     return f"""
 WITH lifted AS (
   SELECT doc_id,
-         '{BP_NAV}' || chr(10) || '<p>' || text || '</p>' || chr(10) || '{BP_FOOTER}' AS html
+         '{BP_NAV}' || chr(10) || '<p>' || coalesce(text, '') || '</p>' || chr(10) || '{BP_FOOTER}' AS html
   FROM documents
 ), k AS (
   SELECT doc_id,
@@ -3056,17 +3073,17 @@ WITH lifted AS (
   FROM lifted
 )
 SELECT doc_id,
-       trim(regexp_replace(coalesce(array_to_string(list_filter(list_transform(kept, x -> {tl('x')}), t -> t <> ''), ' '), ''), '\\s+', ' ', 'g')) AS main_text,
+       trim(regexp_replace(coalesce(array_to_string(list_filter(list_transform(kept, x -> {tl('x')}), t -> t <> ''), ' '), ''), '{_DUCK_UWS}', ' ', 'g')) AS main_text,
        CAST(len(kept) AS BIGINT) AS n_blocks_kept
 FROM k
 """
 
 
 def docs_repetition_stats(spark, sf_dir):
-    """Gopher-family repetition filter (Rae et al. 2021 §A1.1): per-doc
-    most-frequent-word mass fraction plus duplicate word-2/3-gram
-    fractions, and the keep/drop verdict a quality pipeline anti-joins
-    against the corpus. One Arrow kernel pass per document — a pure
+    """Gopher-family repetition filter (the Rae 2021 §A1.1 rules):
+    per-doc most-frequent-word mass fraction plus duplicate word-2/3-
+    gram fractions, and the keep/drop verdict a quality pipeline
+    anti-joins against the corpus. One Arrow kernel pass per document — a pure
     projection over the scan with ZERO shuffle (the per-doc Counter
     lives and dies inside the executor), where the SQL formulation
     needs an explode + two gram self-aggregations. At 100 TB this
@@ -3133,7 +3150,12 @@ def emb_scalar_quantize(spark, sf_dir):
     row per partition, NOT the n x d posexplode), a #partitions-row
     combine, then the codes in one Arrow pass with the d-row bounds
     table broadcast — two scans, zero wide shuffle."""
-    e = _t_wide(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # drop NULL and zero-length vectors: the oracle's unnest produces no
+    # dims rows for either, so its GROUP BY drops the vec_id — the
+    # Spark side must agree instead of emitting a (0, 0.0) row
+    e = _t_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     partials = V.minmax_partials_df(e, "embedding")
     mm = partials.select(
         F.posexplode(F.arrays_zip(F.col("mins"), F.col("maxs"))).alias("dim", "z")
@@ -3185,7 +3207,10 @@ def docs_stratified_sample(spark, sf_dir):
     before training. Pure column math + one partial+final agg; the
     per-row verdict never shuffles."""
     d = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * 2654435761 % MOD, F.lit(10))
+    bucket = F.pmod((F.col("doc_id") % MOD) * 2654435761 % MOD, F.lit(10))
+    # (doc_id % MOD) first: the raw product overflows int64 at doc_id
+    # >= ~3.5e9 — Spark wraps silently, DuckDB raises; (MOD-1) *
+    # 2654435761 stays under 2^63 so both engines agree at any id
     rate = F.lit(STRATA_DEFAULT_RATE)
     for lang, k in STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, k).otherwise(rate)
@@ -3200,7 +3225,7 @@ def docs_stratified_sample(spark, sf_dir):
 DOCS_STRATIFIED_SQL = rf"""
 WITH b AS (
   SELECT lang,
-         CASE WHEN ((doc_id * 2654435761) % {MOD}) % 10 <
+         CASE WHEN (((doc_id % {MOD}) * 2654435761) % {MOD}) % 10 <
                    (CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 5
                               WHEN 'de' THEN 3 ELSE 2 END)
               THEN 1 ELSE 0 END AS keep
@@ -3237,7 +3262,11 @@ def docs_pack_sequences(spark, sf_dir):
     spans = cum.select(
         F.explode(F.sequence(start_chunk, end_chunk)).alias("chunk_id")
     )
-    tot = toks.groupBy().agg(F.sum("nt").alias("total"))
+    # grand total = the LAST cumulative value — read it off the already
+    # checkpointed prefix-sum output instead of re-scanning + re-
+    # tokenizing the corpus a second time (at 100 TB the scan is the
+    # cost; max() over the checkpoint is a cheap partial+final agg)
+    tot = cum.groupBy().agg(F.max("cum").alias("total"))
     return (
         spans.groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -3293,23 +3322,32 @@ def docs_incremental_dedup(spark, sf_dir):
     Arrow kernels for fingerprints and signatures; the only wide ops
     are the fp semi-join and the band equi-join."""
     d = _t(spark, sf_dir, "documents")
-    incoming = d.filter(F.col("doc_id") % INCR_MOD == 0)
-    committed = d.filter(F.col("doc_id") % INCR_MOD != 0)
+    is_in = F.col("doc_id") % INCR_MOD == 0
 
-    fp_in = incoming.select("doc_id", HK.poly_hash_kernel(F.col("text")).alias("fp"))
-    fp_com = committed.select(HK.poly_hash_kernel(F.col("text")).alias("fp")).distinct()
+    # ONE fingerprint pass and ONE signature pass over the corpus,
+    # lazily checkpointed so the incoming/committed filters below are
+    # filters over the kernel output, not re-executions of it (five
+    # separate branches would re-scan + re-hash the corpus per branch)
+    fp_all = d.select(
+        "doc_id", is_in.alias("is_in"), HK.poly_hash_kernel(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=False)
+    banded_all = (
+        _banded_sigs(HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3), "doc_id")
+        .withColumn("is_in", is_in)
+        .localCheckpoint(eager=False)
+    )
+
+    incoming = fp_all.filter("is_in").select("doc_id")
+    fp_in = fp_all.filter("is_in").select("doc_id", "fp")
+    fp_com = fp_all.filter(~F.col("is_in")).select("fp").distinct()
     exact = (
         fp_in.join(fp_com, "fp", "left_semi")
         .select("doc_id")
         .withColumn("is_exact", F.lit(1))
     )
 
-    banded_in = _banded_sigs(
-        HK.minhash_signatures_df(incoming, num_hashes=N_MINHASH, k=3), "doc_id"
-    )
-    banded_com = _banded_sigs(
-        HK.minhash_signatures_df(committed, num_hashes=N_MINHASH, k=3), "doc_id"
-    )
+    banded_in = banded_all.filter("is_in").drop("is_in")
+    banded_com = banded_all.filter(~F.col("is_in")).drop("is_in")
     near = (
         banded_in.alias("i")
         .join(banded_com.alias("c"), ["band", "sig"])

@@ -156,3 +156,75 @@ def test_incremental_dedup_verdicts_fire(spark, adv_dir):
     }
     assert rows[15] == ("exact_dup", 2)
     assert all(v == ("new", 0) for k, v in rows.items() if k != 15)
+
+
+def test_boilerplate_unicode_ws_and_null_parity(spark, tmp_path):
+    """docs_boilerplate_extract's scorer uses Java's (?U)\\s (to stay
+    paired with the reference on NBSP/ideographic spaces) while RE2's
+    bare \\s is ASCII-only — the oracle spells the White_Space class
+    out. Pin the pair on exactly those characters plus NULL text, on a
+    dedicated table so the shared battery (whose other oracles are
+    deliberately ASCII-\\s on both engines) is untouched."""
+    docs = [
+        (1, "hello world and　more", "en", "s"),
+        (2, None, "en", "s"),
+        (3, "plain words", "en", "s"),
+    ]
+    d = str(tmp_path / "uws")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    sdf = E.queries()["docs_boilerplate_extract"](spark, d)
+    rel = con.sql(E.oracle_sql()["docs_boilerplate_extract"])
+    ms = _multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    md = _multiset(rel.columns, rel.fetchall())
+    assert ms == md, [(a, b) for a, b in zip(ms, md) if a != b]
+    # and the NBSP really was treated as a separator (2 words, not 1)
+    texts = {r[0]: r[1] for r in ms}
+    assert texts[1] == "hello world and more"
+    assert texts[2] == ""
+
+
+def test_overflow_ids_and_empty_vectors_parity(spark, tmp_path):
+    """Edge parity for two review findings: (a) doc_id * 2654435761
+    overflows int64 at doc_id >= ~3.5e9 — Spark wraps silently, DuckDB
+    raises — so the split/strata bucket hash must reduce doc_id mod MOD
+    FIRST (pinned here with ids straddling 2^40); (b) a ZERO-LENGTH
+    (not just NULL) embedding produces no unnest rows in the quantize
+    oracle, so the Spark side must drop it rather than emit (0, 0.0)."""
+    docs = [
+        (2**40 + i, f"words for doc {i} " * (i + 1), "en" if i % 2 else "zh", "s")
+        for i in range(6)
+    ] + [(7, "small id control", "en", "s")]
+    embs = [
+        (1, [], 0),  # zero-length: oracle's unnest emits nothing
+        (2, [0.5, -1.5, 2.0, 0.0], 0),
+        (3, None, 1),
+        (4, [1.0, 1.0, 1.0, 1.0], 1),
+    ]
+    d = str(tmp_path / "edge")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    for name in ("docs_split_sample", "docs_stratified_sample", "emb_scalar_quantize"):
+        sdf = E.queries()[name](spark, d)
+        rel = con.sql(E.oracle_sql()[name])
+        assert sorted(sdf.columns) == sorted(rel.columns), name
+        ms = _multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
+        md = _multiset(rel.columns, rel.fetchall())
+        assert ms == md, (name, [(a, b) for a, b in zip(ms, md) if a != b][:3])
+    # the empty vector really was dropped, not quantized to a 0-row
+    q = {r[0] for r in E.queries()["emb_scalar_quantize"](spark, d).select("vec_id").collect()}
+    assert q == {2, 4}

@@ -69,12 +69,15 @@ def test_no_global_window_over_data(spark):
     )
     # exactly one single-partition exchange, feeding the totals window
     assert plan.count("Exchange SinglePartition") == 1
-    # every window over the data (ordered by k) must be partitioned by
-    # the pid column: "Window [...], [pid], [k ASC ...]" — a
-    # partitionBy-less data window would print only two bracket groups
-    data_windows = [
-        ln for ln in plan.splitlines() if "Window " in ln and "k#" in ln
-    ]
-    assert data_windows, plan
-    for ln in data_windows:
-        assert "], [__prefix_pid" in ln, ln
+    # and the only hash exchange moves PARTIAL AGGREGATES (one row per
+    # input partition), never the data: a window partitioned by the pid
+    # column would re-shuffle the full dataset a second time because the
+    # checkpoint exposes no outputPartitioning (the bug this pins)
+    lines = plan.splitlines()
+    hash_ex = [i for i, ln in enumerate(lines) if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1, plan
+    assert "partial_sum" in lines[hash_ex[0] + 1], plan
+    # the local running sum is the Arrow kernel over the in-place sort
+    assert "MapInPandas" in plan
+    # the only Window is the #partitions-row offsets scan
+    assert plan.count("Window") == 1
