@@ -2287,17 +2287,15 @@ def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint()
 
 
-def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
-    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
-    pair graph via iterative min-label propagation (the large-star/
-    small-star family — driver controls the loop, every step is a pure
-    DataFrame join+agg, converges in O(component diameter) rounds).
-    Every document gets a cluster representative (isolated docs map to
-    themselves). This is the dedup decision table a corpus pipeline
-    feeds back into the scan filter. Pass reliable=True to persist each
-    round to the Spark checkpoint dir (fault-tolerant recovery: after an
-    executor loss the job recomputes only the current round from the
-    last durable checkpoint, instead of dying on truncated lineage)."""
+def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
+    """Connected-component labels (doc_id, rep) over ONLY the vertices
+    that appear in the MinHash/LSH pair graph. Isolated documents — the
+    overwhelming majority of a real corpus — never enter the iterative
+    loop, so every round's join/agg state is proportional to the DUP
+    GRAPH, not the corpus: at 100 TB the per-round shuffle is a few
+    million label rows, not the full trillion-row id set. Callers union
+    isolated docs back (mapped to themselves) however is cheapest for
+    their shape."""
     if reliable and spark.sparkContext.getCheckpointDir() is None:
         # fail fast: silently defaulting to a driver-local temp dir would
         # defeat the mode's purpose (executors can't read the driver's
@@ -2309,7 +2307,6 @@ def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
             "configured first; refusing to fall back to driver-local /tmp."
         )
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -2318,7 +2315,12 @@ def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
     # materialization truncates lineage every round — without it the
     # nested iterative plan grows until the optimizer itself OOMs
     edges = _materialize(edges, reliable)
-    labels = _materialize(docs.select("doc_id", F.col("doc_id").alias("rep")), reliable)
+    # the edge list is symmetric, so src alone covers every vertex
+    labels = _materialize(
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("rep")),
+        reliable,
+    )
     for _ in range(12):  # diameter bound; fixpoint check below
         prop = _materialize(
             edges.join(labels, edges.src == labels.doc_id)
@@ -2345,7 +2347,27 @@ def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
         labels = jumped
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+    return labels
+
+
+def docs_dup_clusters(spark, sf_dir, reliable: bool = False):
+    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    pair graph via iterative min-label propagation (the large-star/
+    small-star family — driver controls the loop, every step is a pure
+    DataFrame join+agg, converges in O(component diameter) rounds).
+    Every document gets a cluster representative (isolated docs map to
+    themselves — via a single left join against the small dup-graph
+    label table, never inside the loop). This is the dedup decision
+    table a corpus pipeline feeds back into the scan filter. Pass
+    reliable=True to persist each round to the Spark checkpoint dir
+    (fault-tolerant recovery: after an executor loss the job recomputes
+    only the current round from the last durable checkpoint, instead of
+    dying on truncated lineage)."""
+    labels = _dup_graph_labels(spark, sf_dir, reliable)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("cluster_rep")
+    )
 
 
 DOCS_CLUSTERS_SQL_TEMPLATE = """
@@ -2564,19 +2586,34 @@ def docs_dedup_keep_best(spark, sf_dir):
     actually ships: near-dup clusters (MinHash-LSH -> connected
     components) joined with quality scores; per cluster exactly one
     member is kept (quality desc, doc_id asc tie-break). Downstream the
-    corpus scan anti-joins keep=false. One extra shuffle over the
-    cluster table (bounded by n_docs), the per-cluster window is
-    dup-group-sized."""
-    clusters = docs_dup_clusters(spark, sf_dir)
+    corpus scan anti-joins keep=false. Only dup-graph members (a tiny
+    fraction of any real corpus) pass through the ranking window; every
+    isolated doc is its own cluster with keep=true, decided in the
+    projection — so the corpus-sized leg is one left join against the
+    dup-graph label table (AQE broadcasts it when it is small, which is
+    the common case; a pathological 50%-dup crawl still only shuffles
+    (id, rep) pairs), with NO corpus-wide window shuffle."""
+    labels = _dup_graph_labels(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     q = d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
-    joined = clusters.join(q, "doc_id")
-    w = Window.partitionBy("cluster_rep").orderBy(
+    joined = q.join(labels, "doc_id", "left")
+    iso = joined.filter(F.col("rep").isNull()).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_rep"),
+        "quality",
+        F.lit(True).alias("keep"),
+    )
+    dup = joined.filter(F.col("rep").isNotNull())
+    w = Window.partitionBy("rep").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
-    return joined.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id", "cluster_rep", "quality", (F.col("rk") == 1).alias("keep")
+    ranked = dup.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("rep").alias("cluster_rep"),
+        "quality",
+        (F.col("rk") == 1).alias("keep"),
     )
+    return ranked.unionByName(iso)
 
 
 def _duck_dedup_keep_best_sql() -> str:
