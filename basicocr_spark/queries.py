@@ -1255,19 +1255,45 @@ def docs_near_dup_verified(spark, sf_dir):
     here; the cluster table (docs_dup_clusters) is the cap-safe
     consumer."""
     d = _t_wide(spark, sf_dir, "documents")
-    # ONE kernel pass computes signatures AND verification shingle sets,
-    # materialized via localCheckpoint — the signature table a production
-    # job persists once and reuses for both candidate generation and
-    # verification (three separate kernel scans of the corpus otherwise:
-    # the band join's side plus each verify branch). Hashed shingle sets
-    # (8-byte longs) also shuffle ~10x lighter than the shingle strings;
-    # the oracle computes the identical hash so parity is exact.
-    sigs = HK.minhash_and_shingles_df(
-        d, num_hashes=N_MINHASH, k_sig=3, k_verify=2
-    ).localCheckpoint()
-    cands = _band_candidates(sigs, "doc_id", "doc_a", "doc_b")
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Split pipeline: a signatures-only kernel pass feeds candidate
+    # generation; the k=2 verification shingle sets are computed by a
+    # SECOND kernel pass over ONLY the docs that appear in a candidate
+    # pair (a broadcast semi-join prunes the corpus executor-side before
+    # the kernel). Non-candidate docs — the overwhelming majority —
+    # never pay shingle-set materialization, and the verify joins
+    # shuffle candidate-sized tables instead of every doc's shingle set.
+    # (A fused single-pass variant, minhash_and_shingles_df, exists for
+    # persist-once deployments; at sandbox scale its one-scan form is a
+    # few hundred ms faster because stage-launch overhead dominates a
+    # 5k-doc corpus, but at real scale it checkpoints and shuffles every
+    # doc's shingle set — the candidate-pruned shape here is the one
+    # that survives 10^12 docs.) Hashed shingle sets (8-byte longs) also
+    # shuffle ~10x lighter than the shingle strings; the oracle computes
+    # the identical hash so parity is exact.
+    # sigs feeds ONLY the band join, so the corpus-wide signature table
+    # is never checkpointed; cands (tiny) is the shared node — two
+    # consumers (the id prune and the final verify join) — so it is the
+    # one materialized, lazily so the driver doesn't block on an eager
+    # job.
+    sigs = HK.minhash_signatures_df(d, num_hashes=N_MINHASH, k=3)
+    cands = _band_candidates(sigs, "doc_id", "doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # AQE broadcasts the id set (its size is known exactly from the
+    # checkpoint), so the prune is executor-side with no corpus shuffle;
+    # if a pathological corpus ever made it big, AQE's fallback is a
+    # shuffled semi-join on bare ids — still never a corpus-wide
+    # shingle materialization.
+    sh = HK.shingle_hash_sets_df(
+        d.join(cand_ids, "doc_id", "left_semi"), k=2
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
