@@ -231,3 +231,38 @@ def test_scalar_quantize_no_wide_explode(spark):
     assert plan.count("Generate") == 1
     assert plan.count("MapInPandas") == 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_near_dup_verified_candidate_pruned_shape(spark):
+    """docs_near_dup_verified: the 100 TB shape is candidate-pruned —
+    a signatures-only kernel feeds the band join, and the verification
+    shingle kernel runs AFTER a semi-join prune, so non-candidate docs
+    never materialize shingle sets. Pinned: exactly two Arrow kernels
+    (signatures + candidate-only shingles), a left-semi prune between
+    them, and no corpus-wide 'sh' column before the prune."""
+    plan = _plan(Q.docs_near_dup_verified(spark, SF))
+    assert plan.count("MapInPandas") == 2, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_dup_clusters_loop_state_is_graph_sized(spark):
+    """The connected-components labels must be seeded from the edge
+    list's vertices (dup-graph docs only), never from the corpus: the
+    corpus-sized leg is a single left join AFTER convergence. Guarded
+    behaviorally: every isolated doc maps to itself, every dup-graph
+    doc to its component min."""
+    labels = Q._dup_graph_labels(spark, SF)
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id")
+    n_docs = docs.count()
+    n_graph = labels.count()
+    assert 0 < n_graph < n_docs  # the loop state is strictly smaller
+    pairs = Q.docs_minhash_lsh_pairs(spark, SF)
+    vert = {r[0] for r in pairs.select("doc_a").collect()} | {
+        r[0] for r in pairs.select("doc_b").collect()
+    }
+    assert {r["doc_id"] for r in labels.collect()} == vert
+    full = {r["doc_id"]: r["cluster_rep"] for r in Q.docs_dup_clusters(spark, SF).collect()}
+    assert len(full) == n_docs
+    for d, rep in full.items():
+        if d not in vert:
+            assert rep == d  # isolated docs are their own cluster
