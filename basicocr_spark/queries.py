@@ -2299,7 +2299,7 @@ FROM scored GROUP BY 1, 2
 """
 
 
-def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+def _materialize(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
     """Lineage-truncating materialization for iterative loops.
     reliable=False -> localCheckpoint: executor-local storage, fast, but
     an executor loss mid-job forces a recompute from ALREADY-TRUNCATED
@@ -2307,10 +2307,13 @@ def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
     df.checkpoint(): survives executor loss — the production setting
     for a multi-hour CC job on a real cluster (requires
     spark.sparkContext.setCheckpointDir on durable storage; the caller
-    sets a temp dir if none is configured)."""
+    sets a temp dir if none is configured). eager=False defers the
+    materializing job to the first consuming action (still computed
+    exactly once) — inside the CC loop the per-round fixpoint count is
+    that action, so a lazy round runs ONE job instead of three."""
     if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
@@ -2348,6 +2351,10 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
         reliable,
     )
     for _ in range(12):  # diameter bound; fixpoint check below
+        # lazy checkpoints: the fixpoint count below is the round's ONE
+        # materializing action — prop and jumped still compute exactly
+        # once and still truncate lineage, without two extra blocking
+        # jobs per round
         prop = _materialize(
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "rep")
@@ -2355,6 +2362,7 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("rep").alias("rep")),
             reliable,
+            eager=False,
         )
         # pointer jumping: rep := rep(rep) — halves remaining diameter,
         # giving O(log n) total rounds instead of O(diameter)
@@ -2363,6 +2371,7 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
             prop.join(m, prop.rep == m.m_doc, "left")
             .select("doc_id", F.coalesce("m_rep", "rep").alias("rep")),
             reliable,
+            eager=False,
         )
         changed = (
             jumped.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
