@@ -86,8 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- entries the driver's 50-row CORRECTNESS snapshot has never
         # recorded (it caps at 50/round and rotates): lead the dict so
-        # round 3 captures them; all pass the identical oracle-compare
-        # locally at sf0.001 and sf0.01 (test_driver_contract.py)
+        # round 4 captures them; all pass the identical oracle-compare
+        # locally at sf0.001 and sf0.01 (test_driver_contract.py).
+        # docs_token_kmv_distinct is the single entry with zero driver
+        # rows across rounds 1-3 — first in line this round.
+        "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_pii_scrub": Q.docs_pii_scrub,
         "docs_dedup_keep_best": Q.docs_dedup_keep_best,
         "detection_nms": FQ.detection_nms_fixture,
@@ -145,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_scores": Q.docs_quality_scores,
         "docs_fingerprint": Q.docs_fingerprint,
         "docs_word_freq": Q.docs_word_freq,
-        "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_word_freq_cjk": Q.docs_word_freq_cjk,
         "docs_minhash_lsh_pairs_cjk": Q.docs_minhash_lsh_pairs_cjk,
         "docs_ngram_counts": Q.docs_ngram_counts,

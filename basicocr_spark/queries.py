@@ -126,8 +126,13 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 
 
 def q3_top_orders(spark, sf_dir):
-    """J3-family equi-join chain + agg + deterministic top-10
-    (row_number over (rounded revenue desc, key))."""
+    """J3-family equi-join chain + agg + deterministic top-10.
+    The ranking is orderBy().limit(10) — Catalyst compiles that to
+    TakeOrderedAndProject (per-partition JVM top-10 merged at the
+    driver), so no single reducer ever sees the full post-agg order
+    table (a bare row_number() OVER (ORDER BY ...) window funnels every
+    order into ONE window task — the straggler wall at 10^12 rows).
+    row_number re-ranks only the <=10 survivors."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -137,10 +142,10 @@ def q3_top_orders(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        top.withColumn("rn", F.row_number().over(w))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -1927,10 +1932,12 @@ def events_value_histogram_top1(spark, sf_dir):
         F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hour_bin"),
     )
     counts = binned.groupBy("value_bin", "hour_bin").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("value_bin").asc(), F.col("hour_bin").asc())
+    # argmax via TakeOrderedAndProject (orderBy+limit), not a global
+    # row_number window: the bin table is bounded, but no empty-
+    # partition Window node belongs anywhere in the catalog
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        counts.orderBy(F.col("n").desc(), F.col("value_bin").asc(), F.col("hour_bin").asc())
+        .limit(1)
         .select("value_bin", "hour_bin", "n")
     )
 
@@ -2552,11 +2559,15 @@ def events_range_join(spark, sf_dir):
         "event_type",
         "value",
     )
-    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    # incident selection: orderBy().limit() = TakeOrderedAndProject
+    # (distributed partial top-20, driver merge) — NOT a global
+    # row_number window, which would funnel every error event into one
+    # window task. (value desc, event_id asc) is a total order, so the
+    # limit is deterministic.
     incidents = (
         e.filter(F.col("event_type") == "error")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
         .select(F.col("event_id").alias("incident_id"), F.col("us").alias("ius"))
     )
     bins = F.explode(

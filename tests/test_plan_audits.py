@@ -245,6 +245,62 @@ def test_near_dup_verified_candidate_pruned_shape(spark):
     assert "LeftSemi" in plan, plan
 
 
+def _walk_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def _is_reduced_subtree(node) -> bool:
+    """True if the subtree contains a row-count reduction that bounds
+    what a downstream single-partition operator can see: a limit
+    (TakeOrderedAndProject once physical), a MapInPandas (_local_topk's
+    per-partition pre-reduction), or the prefix-sum totals aggregate
+    (grouped by __prefix_pid — exactly #partitions rows)."""
+    for n in _walk_logical(node):
+        name = n.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit", "MapInPandas"):
+            return True
+        if name == "Aggregate":
+            g = n.groupingExpressions()
+            names = [g.apply(i).toString() for i in range(g.size())]
+            if names and all("__prefix_pid" in s for s in names):
+                return True
+    return False
+
+
+def test_no_unreduced_global_rank_window_in_catalog(spark):
+    """Catalog-wide structural guarantee (round-3 verdict item #1): NO
+    query in __spark_entry__.queries() may contain a Window node with an
+    EMPTY partition spec over an unreduced input — the single-reducer
+    wall where every row funnels into one window task at 10^12 rows.
+    Global rankings must pre-reduce (orderBy().limit() ->
+    TakeOrderedAndProject, or _local_topk) before any empty-partition
+    window; per-key windows (non-empty partitionBy) are fine."""
+    qm = E.queries()
+    offenders = []
+    for name, fn in qm.items():
+        df = fn(spark, SF)
+        root = df._jdf.queryExecution().optimizedPlan()
+        for n in _walk_logical(root):
+            if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty():
+                if not _is_reduced_subtree(n):
+                    offenders.append(name)
+                    break
+    assert not offenders, f"unreduced global windows in: {offenders}"
+
+
+def test_q3_and_range_join_use_take_ordered(spark):
+    """The two round-3 'weak' sites specifically: q3's top-10 and the
+    range join's incident top-20 must compile to TakeOrderedAndProject
+    (distributed partial top-k), with no Window consuming an unreduced
+    input."""
+    for df in (Q.q3_top_orders(spark, SF), Q.events_range_join(spark, SF)):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_dup_clusters_loop_state_is_graph_sized(spark):
     """The connected-components labels must be seeded from the edge
     list's vertices (dup-graph docs only), never from the corpus: the
