@@ -56,7 +56,14 @@ def with_prefix_sum(
     contribute nothing, and the running sum is NULL until the first
     non-null value anywhere in the prefix. The result is
     partitioning-independent; the range boundaries only decide WHERE
-    the work runs."""
+    the work runs.
+
+    Float caveat: partitioning-independence is BIT-exact for integral
+    values only. For doubles, the per-partition-total + local-cumsum
+    summation order can drift in the last ulp versus a single-partition
+    window's strict left-to-right order — double-valued callers needing
+    bit-exact parity with a global window should round at the consumer
+    (current callers are all long-valued)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     val = F.col(value_col) if isinstance(value_col, str) else value_col

@@ -13,7 +13,7 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import hash_kernels as HK
@@ -2306,7 +2306,12 @@ FROM scored GROUP BY 1, 2
 """
 
 
-def _materialize(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
+def _materialize(
+    df: DataFrame,
+    reliable: bool,
+    eager: bool = True,
+    pending_unpersist: list | None = None,
+) -> DataFrame:
     """Lineage-truncating materialization for iterative loops.
     reliable=False -> localCheckpoint: executor-local storage, fast, but
     an executor loss mid-job forces a recompute from ALREADY-TRUNCATED
@@ -2315,12 +2320,34 @@ def _materialize(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame
     for a multi-hour CC job on a real cluster (requires
     spark.sparkContext.setCheckpointDir on durable storage; the caller
     sets a temp dir if none is configured). eager=False defers the
-    materializing job to the first consuming action (still computed
-    exactly once) — inside the CC loop the per-round fixpoint count is
-    that action, so a lazy round runs ONE job instead of three."""
+    materializing job to the first consuming action — inside the CC
+    loop the eager `jumped` checkpoint is that action, so a lazy round
+    runs ONE job.
+
+    "Computed exactly once" holds unconditionally for localCheckpoint.
+    Reliable Dataset.checkpoint recomputes the lineage in a SEPARATE
+    job to write the checkpoint files, so reliable mode persists the
+    input first: the checkpoint-writer job then reads the cache instead
+    of re-running the plan. Eager callers unpersist immediately (files
+    are durable once checkpoint() returns); lazy callers can't — the
+    consuming action hasn't run yet — so the persisted df is appended
+    to `pending_unpersist` for the caller to drain after its round's
+    action completes."""
     if reliable:
-        return df.checkpoint(eager=eager)
+        df = df.persist()
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        elif pending_unpersist is not None:
+            pending_unpersist.append(df)
+        return out
     return df.localCheckpoint(eager=eager)
+
+
+# CC-loop introspection: job group the loop's actions run under (tests
+# count jobs per round against it) + stats from the most recent run.
+_CC_JOB_GROUP = "basicocr-cc-loop"
+LAST_CC_STATS: dict = {}
 
 
 def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
@@ -2357,38 +2384,61 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("rep")),
         reliable,
     )
-    for _ in range(12):  # diameter bound; fixpoint check below
-        # lazy checkpoints: the fixpoint count below is the round's ONE
-        # materializing action — prop and jumped still compute exactly
-        # once and still truncate lineage, without two extra blocking
-        # jobs per round
-        prop = _materialize(
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "rep")
-            .unionByName(labels)
-            .groupBy("doc_id")
-            .agg(F.min("rep").alias("rep")),
-            reliable,
-            eager=False,
-        )
-        # pointer jumping: rep := rep(rep) — halves remaining diameter,
-        # giving O(log n) total rounds instead of O(diameter)
-        m = prop.select(F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep"))
-        jumped = _materialize(
-            prop.join(m, prop.rep == m.m_doc, "left")
-            .select("doc_id", F.coalesce("m_rep", "rep").alias("rep")),
-            reliable,
-            eager=False,
-        )
-        changed = (
-            jumped.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-            .filter(F.col("rep") != F.col("old_rep"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
+    sc = spark.sparkContext
+    prev_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(_CC_JOB_GROUP, "dup-graph connected components loop")
+    rounds = 0
+    try:
+        for _ in range(12):  # diameter bound; fixpoint check below
+            rounds += 1
+            pend: list = []
+            # ONE materializing job per round: prop checkpoints lazily
+            # (it rides the eager `jumped` checkpoint below), and the
+            # convergence count rides that same job as an Observation
+            # on the jump output — no separate blocking count job, so
+            # the driver does one round-trip per round, not two
+            prop = _materialize(
+                edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "rep")
+                .unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("rep").alias("rep")),
+                reliable,
+                eager=False,
+                pending_unpersist=pend,
+            )
+            # pointer jumping: rep := rep(rep) — halves remaining
+            # diameter, giving O(log n) total rounds instead of
+            # O(diameter)
+            m = prop.select(F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep"))
+            obs = Observation()
+            jumped = _materialize(
+                prop.join(m, prop.rep == m.m_doc, "left")
+                .select("doc_id", F.coalesce("m_rep", "rep").alias("rep"))
+                # prop/jumped cover exactly labels' vertex set, so the
+                # inner join is lossless; old_rep exists only to feed
+                # the observed changed-count and is projected away
+                .join(labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id")
+                .observe(
+                    obs,
+                    F.sum((F.col("rep") != F.col("old_rep")).cast("long")).alias(
+                        "changed"
+                    ),
+                )
+                .select("doc_id", "rep"),
+                reliable,
+                eager=True,
+            )
+            changed = obs.get["changed"]
+            for cached in pend:  # reliable mode: round's action is done
+                cached.unpersist()
+            labels = jumped
+            if changed == 0:
+                break
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev_group)
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"rounds": rounds, "job_group": _CC_JOB_GROUP})
     return labels
 
 
@@ -2775,8 +2825,25 @@ def docs_containment_pairs(spark, sf_dir):
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_sup"))
         .distinct()
+        # two consumers below (the id prune and the verify join): lazy
+        # checkpoint so candidates compute once without an eager job
+        .localCheckpoint(eager=False)
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("gh").alias("hs"))
+    # candidate-pruned verification, mirroring docs_near_dup_verified:
+    # full shingle SETS are aggregated only for docs that appear in a
+    # candidate pair (semi-join prune), never corpus-wide — the prefix
+    # filter's whole point was to keep non-candidate docs out of the
+    # expensive set materialization/shuffle
+    cand_ids = (
+        cands.select(F.col("doc_sub").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_sup").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("hs"))
+    )
     a = sets.select(F.col("doc_id").alias("doc_sub"), F.col("hs").alias("ha"))
     b = sets.select(F.col("doc_id").alias("doc_sup"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
@@ -3340,8 +3407,14 @@ def docs_pack_sequences(spark, sf_dir):
         F.col("nt") > 0
     )
     cum = with_prefix_sum(toks, "doc_id", "nt", "cum")
-    start_chunk = F.floor((F.col("cum") - F.col("nt")) / F.lit(float(PACK_CTX)))
-    end_chunk = F.floor((F.col("cum") - 1) / F.lit(float(PACK_CTX)))
+    # integer `div`, NOT float floor((cum-nt)/512.0): float64 division is
+    # exact only below 2^53 cumulative tokens (~9e15) — at 10^12 docs a
+    # realistic tokens/doc pushes cum past that and chunk boundaries
+    # would silently mis-bin. cum/nt are longs and PACK_CTX a constant,
+    # so `div` is exact at any scale (operands are nonnegative, so
+    # div == floor). The oracle uses DuckDB's integer `//` identically.
+    start_chunk = F.expr(f"(cum - nt) div {PACK_CTX}")
+    end_chunk = F.expr(f"(cum - 1) div {PACK_CTX}")
     spans = cum.select(
         F.explode(F.sequence(start_chunk, end_chunk)).alias("chunk_id")
     )
@@ -3375,8 +3448,8 @@ WITH b AS (
 ), c AS (
   SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM nz
 ), spans AS (
-  SELECT unnest(generate_series(CAST(floor((cum - nt) / {PACK_CTX}.0) AS BIGINT),
-                                CAST(floor((cum - 1) / {PACK_CTX}.0) AS BIGINT))) AS chunk_id
+  SELECT unnest(generate_series(CAST((cum - nt) // {PACK_CTX} AS BIGINT),
+                                CAST((cum - 1) // {PACK_CTX} AS BIGINT))) AS chunk_id
   FROM c
 ), tot AS (
   SELECT sum(nt) AS total FROM nz

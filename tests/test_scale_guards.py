@@ -285,3 +285,30 @@ def test_simhash_near_dup_bands_are_exact_for_ball_3(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want
+
+
+def test_cc_loop_runs_one_job_per_round(spark):
+    """Round-3 verdict item #7: the CC loop's convergence check must
+    RIDE the round's single materializing action as an Observation —
+    never a second blocking count job. With AQE off (AQE legitimately
+    splits one action into per-stage jobs), each round is exactly one
+    Spark job in the loop's job group."""
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(Q._CC_JOB_GROUP)
+        )
+        Q._dup_graph_labels(spark, sf)
+        after = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(Q._CC_JOB_GROUP)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    rounds = Q.LAST_CC_STATS["rounds"]
+    assert rounds >= 1
+    assert len(after - before) == rounds, (
+        f"{len(after - before)} loop jobs for {rounds} rounds — a second "
+        "blocking action crept back into the CC round"
+    )
