@@ -84,14 +84,96 @@ def _broadcast_sides(df: DataFrame, logits_rows, dict_lines, stop_terms):
     )
 
 
-def _worker_recognizer(b_logits, b_dict, b_stop, job_token, alphabet, max_cost):
-    """Executor-side: (vectorized text extractor, memoized recognize).
-    One definition for all three fused kernels — the decode+correct
-    memo semantics are part of the cross-implementation equality
-    surface, so they must not drift between kernels."""
+def resolve_recognizer(recognizer=None):
+    """Recognizer-forward resolution — the model seam mirroring
+    multimodal.resolve_decoder (reference: models/crnn.py:23-79 forward,
+    demo.py:26-41). The protocol is `forward(refs: list[str | None]) ->
+    list[logits | None]`: one batched call per Arrow batch's memo-missed
+    refs, each result a (T, C) per-timestep class-score array (anything
+    decode_ctc_numpy accepts) or None for an undecodable ref (which
+    recognizes to '' — the reference's skip semantics, dataset.py:51-55).
+    The engine keeps CTC greedy decode + dictionary correction
+    downstream of the seam, so a production model supplies ONLY the
+    forward pass.
+
+    An explicitly injected callable wins; else None, meaning the fused
+    kernels fall back to the broadcast fixture-logits lookup (the
+    default implementation — it rides a Spark broadcast rather than
+    being captured here, so the corpus-sized side is shipped once per
+    executor, not pickled per task). Unlike resolve_decoder there is no
+    import-probe tier: a recognition forward needs a trained checkpoint
+    — deployment config, not an importable library — so the real-model
+    path is always an explicit injection (see
+    crnn_forward_from_torchscript for the torch adapter factory)."""
+    if recognizer is not None and not callable(recognizer):
+        raise TypeError(
+            "recognizer must be a callable list[ref] -> list[logits|None]"
+        )
+    return recognizer
+
+
+def crnn_forward_from_torchscript(model_path: str, fetch_decode=None):
+    """Adapter factory: a TorchScript CRNN checkpoint -> the
+    resolve_recognizer forward protocol. `fetch_decode(ref) ->
+    (w, h, gray_bytes) | None` supplies pixels for a media_ref (defaults
+    through multimodal.resolve_decoder on the ref treated as a local
+    path — production injects its blob-store fetch). The returned
+    forward loads the model LAZILY once per executor process (the
+    factory itself is pickled into task closures, so nothing heavy may
+    load at construction). Gated on torch being importable; this
+    container ships no torch, so the factory raises at call time there —
+    the protocol contract itself is tested with a fake forward
+    (test_extraction_e2e.py)."""
+    state: dict = {}
+
+    def forward(refs):
+        import numpy as np
+
+        if "model" not in state:
+            try:
+                import torch
+            except ImportError as e:  # pragma: no cover - no torch here
+                raise RuntimeError(
+                    "crnn_forward_from_torchscript needs torch installed "
+                    "on the executors"
+                ) from e
+            state["torch"] = torch
+            state["model"] = torch.jit.load(model_path).eval()
+            if fetch_decode is None:
+                from .multimodal import resolve_decoder
+
+                dec = resolve_decoder()
+                state["fetch"] = lambda ref: dec(open(ref, "rb").read())
+            else:
+                state["fetch"] = fetch_decode
+        torch, model, fetch = state["torch"], state["model"], state["fetch"]
+        out: list = []
+        for ref in refs:  # pragma: no cover - exercised only with torch
+            px = fetch(ref) if ref is not None else None
+            if px is None:
+                out.append(None)
+                continue
+            w, h, buf = px
+            img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+            x = torch.from_numpy(img.astype(np.float32) / 127.5 - 1.0)[None, None]
+            with torch.no_grad():
+                out.append(model(x).squeeze().cpu().numpy())
+        return out
+
+    return forward
+
+
+def _worker_recognizer(
+    b_logits, b_dict, b_stop, job_token, alphabet, max_cost, forward=None
+):
+    """Executor-side: (vectorized text extractor, memoized recognize,
+    batched recognize_batch). One definition for all three fused kernels
+    — the decode+correct memo semantics are part of the
+    cross-implementation equality surface, so they must not drift
+    between kernels. `forward` is the resolve_recognizer seam; None
+    means the broadcast fixture-logits lookup."""
     from .boilerplate_vec import make_vectorized_extractor
 
-    logits_by_ref = b_logits.value
     cache = _job_cache(
         job_token,
         lambda: {
@@ -103,23 +185,45 @@ def _worker_recognizer(b_logits, b_dict, b_stop, job_token, alphabet, max_cost):
     )
     entries = cache["entries"]
     corr_memo: dict[str, str] = cache["corr"]
-    media_memo: dict[str, str] = cache["media"]
+    media_memo: dict = cache["media"]
 
-    def recognize(ref: str) -> str:
-        txt = media_memo.get(ref)
+    if forward is None:
+        logits_by_ref = b_logits.value
+
+        def forward(refs):
+            return [logits_by_ref.get(r) for r in refs]
+
+    def _decode_correct(lg) -> str:
+        raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
+        if not raw:
+            return ""
+        txt = corr_memo.get(raw)
         if txt is None:
-            lg = logits_by_ref.get(ref)
-            raw = decode_ctc_numpy(lg, alphabet) if lg is not None else ""
-            if raw:
-                txt = corr_memo.get(raw)
-                if txt is None:
-                    txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
-            else:
-                txt = ""
-            media_memo[ref] = txt
+            txt = corr_memo[raw] = R.correct_word(raw, entries, max_cost)
         return txt
 
-    return cache["extract"], recognize
+    def recognize_batch(refs) -> dict:
+        """One model forward per kernel batch over the memo MISSES only
+        (deduped, order-preserving) — the north rule's batch-decoded,
+        batch-recognized shape. Returns {ref: text} covering `refs`."""
+        seen: set = set()
+        misses = [
+            r
+            for r in refs
+            if r not in media_memo and not (r in seen or seen.add(r))
+        ]
+        if misses:
+            for r, lg in zip(misses, forward(misses)):
+                media_memo[r] = _decode_correct(lg)
+        return {r: media_memo[r] for r in refs}
+
+    def recognize(ref) -> str:
+        txt = media_memo.get(ref)
+        if txt is None:
+            txt = media_memo[ref] = _decode_correct(forward([ref])[0])
+        return txt
+
+    return cache["extract"], recognize, recognize_batch
 
 
 def recognizer_from_batch_fn(batch_fn):
@@ -367,16 +471,21 @@ def extract_documents_fused(
     stop_terms: list[str],
     alphabet: str = R.DEFAULT_ALPHABET,
     max_cost: int = 3,
+    recognizer=None,
 ) -> DataFrame:
     """Zero-shuffle fused pipeline: one mapInPandas over the documents
     scan. The logits/dictionary fixtures ride a Spark broadcast (in
-    production the recognition model rides the same way); per-batch
-    memoization makes correction cost proportional to the batch's
-    distinct vocabulary."""
+    production the recognition model plugs in via `recognizer=`, the
+    resolve_recognizer forward protocol — one batched ref->logits call
+    per pandas batch's memo misses); per-batch memoization makes
+    correction cost proportional to the batch's distinct vocabulary."""
     sides = _broadcast_sides(docs, logits_rows, dict_lines, stop_terms)
+    fwd = resolve_recognizer(recognizer)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
+        extract_text_vec, _, recognize_batch = _worker_recognizer(
+            *sides, alphabet, max_cost, forward=fwd
+        )
 
         for pdf in batches:
             # flatten the batch's spans; the text side runs through the
@@ -403,9 +512,11 @@ def extract_documents_fused(
                 extracted = extract_text_vec(series)
                 for k, v in zip(text_pos, extracted.to_numpy()):
                     out_text[k] = v
-            for k in range(n):
-                if kinds_arr[k] != "text":  # non-text -> media leg
-                    out_text[k] = recognize(refs[k])
+            media_pos = [k for k in range(n) if kinds_arr[k] != "text"]
+            if media_pos:  # non-text -> media leg, ONE forward per batch
+                lookup = recognize_batch([refs[k] for k in media_pos])
+                for k in media_pos:
+                    out_text[k] = lookup[refs[k]]
 
             # group back per doc; same composite order as the SQL
             # pipeline's array_sort: (offset, kind, media_ref-or-'', text-or-'')
@@ -437,6 +548,7 @@ def extract_documents_fused_arrow(
     stop_terms: list[str],
     alphabet: str = R.DEFAULT_ALPHABET,
     max_cost: int = 3,
+    recognizer=None,
 ) -> DataFrame:
     """mapInArrow twin of extract_documents_fused (same output, pinned
     by tests/test_extraction_e2e.py): the nested list<struct> span
@@ -450,13 +562,16 @@ def extract_documents_fused_arrow(
     import pyarrow as pa
 
     sides = _broadcast_sides(docs, logits_rows, dict_lines, stop_terms)
+    fwd = resolve_recognizer(recognizer)
 
     out_type = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
+        extract_text_vec, _, recognize_batch = _worker_recognizer(
+            *sides, alphabet, max_cost, forward=fwd
+        )
 
         for rb in batches:
             doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
@@ -490,9 +605,9 @@ def extract_documents_fused_arrow(
             if text_mask.any():
                 out_text[text_mask] = extract_text_vec(text[text_mask]).to_numpy()
             media_mask = ~text_mask
-            if media_mask.any():
+            if media_mask.any():  # ONE forward per Arrow batch
                 refs = mref[media_mask]
-                lookup = {r: recognize(r) for r in pd.unique(refs)}
+                lookup = recognize_batch(list(pd.unique(refs)))
                 out_text[media_mask] = refs.map(lookup).to_numpy()
 
             # same composite order as the pandas kernel / SQL array_sort:
@@ -550,6 +665,7 @@ def extract_spans_flat(
     alphabet: str = R.DEFAULT_ALPHABET,
     max_cost: int = 3,
     n_partitions: int | None = None,
+    recognizer=None,
 ) -> DataFrame:
     """Flat-layout twin of the fused pipeline for corpora stored with one
     row PER SPAN (doc_id, offset, kind, text, media_ref) instead of the
@@ -563,6 +679,7 @@ def extract_spans_flat(
     cost. Requires the input contract (offsets unique per doc).
     """
     sides = _broadcast_sides(spans_flat, logits_rows, dict_lines, stop_terms)
+    fwd = resolve_recognizer(recognizer)
     n = n_partitions or spans_flat.sparkSession.sparkContext.defaultParallelism * 2
 
     arranged = spans_flat.repartitionByRange(n, "doc_id").sortWithinPartitions(
@@ -570,7 +687,9 @@ def extract_spans_flat(
     )
 
     def kernel(batches):
-        extract_text_vec, recognize = _worker_recognizer(*sides, alphabet, max_cost)
+        extract_text_vec, _, recognize_batch = _worker_recognizer(
+            *sides, alphabet, max_cost, forward=fwd
+        )
 
         prev_doc = None  # doc spanning the batch boundary within a partition
         prev_count = 0
@@ -596,8 +715,10 @@ def extract_spans_flat(
             if text_mask.any():
                 out_text[text_mask] = extract_text_vec(pdf.loc[text_mask, "text"]).to_numpy()
             media_mask = ~text_mask
-            if media_mask.any():
-                out_text[media_mask] = pdf.loc[media_mask, "media_ref"].map(recognize).to_numpy()
+            if media_mask.any():  # ONE forward per pandas batch
+                refs = pdf.loc[media_mask, "media_ref"]
+                lookup = recognize_batch(list(pd.unique(refs)))
+                out_text[media_mask] = refs.map(lookup).to_numpy()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
