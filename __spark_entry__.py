@@ -89,8 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 captures them; all pass the identical oracle-compare
         # locally at sf0.001 and sf0.01 (test_driver_contract.py).
         # docs_token_kmv_distinct is the single entry with zero driver
-        # rows across rounds 1-3 — first in line this round.
+        # rows across rounds 1-3 — first in line this round. Round-4
+        # additions (BPE trainer, LM perplexity) follow it.
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
+        "docs_bpe_merges": Q.docs_bpe_merges,
+        "docs_lm_perplexity": Q.docs_lm_perplexity,
         "docs_pii_scrub": Q.docs_pii_scrub,
         "docs_dedup_keep_best": Q.docs_dedup_keep_best,
         "detection_nms": FQ.detection_nms_fixture,
@@ -221,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_containment_pairs": Q._duck_containment_sql(),
         "docs_dup_ngram_fraction": Q._duck_dup_ngram_sql(),
         "docs_bpe_pair_counts": Q.DOCS_BPE_PAIRS_SQL,
+        "docs_bpe_merges": Q.DOCS_BPE_MERGES_SQL,
+        "docs_lm_perplexity": Q.DOCS_LM_PPL_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

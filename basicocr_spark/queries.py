@@ -3022,6 +3022,244 @@ FROM counts QUALIFY rk <= 40
 """
 
 
+N_BPE_MERGES = 20  # trainer loop depth (vocab_size - base alphabet)
+
+
+def _bpe_apply_merge(syms, a: str, b: str):
+    """Greedy left-to-right application of one BPE merge (a, b) to a
+    symbol array, as a pure JVM fold (F.aggregate — no Python in the
+    loop's hot path). The replace-last fold is exactly the reference
+    greedy scan: a merged symbol a||b can never itself equal `a` (b is
+    nonempty), so a fresh merge is never re-merged within the pass."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.size(acc) == 0, F.array(x)
+        )
+        .when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def docs_bpe_merges(spark, sf_dir):
+    """The full BPE TRAINER loop (Sennrich et al. 2016) — count adjacent
+    symbol pairs, merge the argmax pair, recount — for N_BPE_MERGES
+    rounds, returning the learned merge table (rank, pair, frequency):
+    the tokenizer-training step downstream of a cleaned corpus.
+    docs_bpe_pair_counts is this loop's first iteration.
+
+    Scale shape: ONE corpus scan total — the loop state is the distinct
+    WORD-FREQUENCY vocabulary (millions of rows at 100 TB, not the
+    trillion-row corpus), localCheckpointed per round so the iterative
+    plan never nests. Each round is a partial+final pair agg over the
+    vocab plus an argmax via orderBy().limit(1) (TakeOrderedAndProject),
+    and the merge application is a JVM array fold — zero Python, zero
+    corpus re-scan. Tie-break (freq desc, a asc, b asc) pins the learned
+    sequence across engines; the DuckDB oracle unrolls the identical
+    loop (pair-count CTE -> argmax CTE -> list_reduce merge CTE per
+    round)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    vocab = _materialize(
+        d.select(F.explode(TS.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+        ),
+        reliable=False,
+    )
+    merges: list[tuple] = []
+    for rk in range(1, N_BPE_MERGES + 1):
+        pair_i = lambda i: F.struct(  # noqa: E731
+            F.element_at(F.col("syms"), i).alias("a"),
+            F.element_at(F.col("syms"), i + 1).alias("b"),
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(F.sequence(F.lit(1), F.size("syms") - 1), pair_i)
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, total = best[0].a, best[0].b, int(best[0].total)
+        merges.append((rk, a, b, total))
+        # lazy checkpoint: materialized by the NEXT round's argmax — one
+        # blocking job per round, lineage truncated (same discipline as
+        # the CC loop)
+        vocab = _materialize(
+            vocab.withColumn("syms", _bpe_apply_merge(F.col("syms"), a, b)),
+            reliable=False,
+            eager=False,
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank long, sym_a string, sym_b string, freq long"
+    )
+
+
+def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Unrolled DuckDB twin of the docs_bpe_merges trainer: per round, a
+    pair-count CTE, an argmax CTE, and a merge-application CTE (the same
+    greedy replace-last fold via list_reduce over a chr(31)-delimited
+    accumulator — merged symbols never contain the separator because
+    symbols come from whitespace-split tokens). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and v{k}/b{k} are each
+    referenced twice, so inlining would blow the chain up exponentially
+    (2^N scans of the corpus)."""
+    parts = [
+        r"""WITH w0 AS MATERIALIZED (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> '') GROUP BY w
+), v0 AS MATERIALIZED (
+  SELECT freq, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+  FROM w0
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS total
+  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+                                           i -> [syms[i], syms[i + 1]])) AS pr
+        FROM v{k - 1} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT a, b, total, CAST({k} AS BIGINT) AS rk FROM p{k}
+  ORDER BY total DESC, a ASC, b ASC LIMIT 1
+), v{k} AS MATERIALIZED (
+  SELECT freq,
+    CASE WHEN len(syms) < 2 THEN syms
+         ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+                WHEN string_split(acc, chr(31))[-1] = m.a AND x = m.b
+                THEN acc || x
+                ELSE acc || chr(31) || x END), chr(31))
+    END AS syms
+  FROM v{k - 1}, b{k} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rk AS merge_rank, a AS sym_a, b AS sym_b, total AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+DOCS_BPE_MERGES_SQL = _duck_bpe_merges_sql()
+
+
+def docs_lm_perplexity(spark, sf_dir):
+    """n-gram LM estimation + per-doc perplexity scoring — the workflow
+    the reference describes past raw counts (docs/yangzhanku/n-gram/
+    language-model.md:166-193: count -> merge -> conditional-probability
+    estimation), completed into the standard KenLM-style quality-filter
+    signal for training corpora: a bigram model with add-one (Laplace)
+    smoothing, self-scored — P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) —
+    and per-doc perplexity exp(-mean log P). High-perplexity docs are
+    the gibberish/boilerplate tail a quality filter drops.
+
+    Scale shape: ONE corpus tokenization (lazily checkpointed, two
+    consumers); per-doc bigram occurrences reduce to (doc, bigram,
+    count) FIRST (map-side combine absorbs in-doc repetition), so the
+    model join shuffles the distinct-bigram-per-doc table, never raw
+    corpus positions; the model tables themselves are partial+final
+    aggs; V broadcast-crosses as a scalar. Docs with <2 tokens have no
+    bigrams and are excluded (no defined perplexity). Both engines
+    compute sum(k * ln(p)) over identical integer-ratio inputs; floats
+    rounded at the boundary."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = (
+        d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.groupBy().agg(F.count(F.lit(1)).alias("v"))
+    per_doc = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    bi = per_doc.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    log_p = F.log((F.col("cb") + 1) / (F.col("cu1") + F.col("v")).cast("double"))
+    nll = -F.sum(F.col("k") * log_p) / F.sum("k")
+    return (
+        per_doc.join(bi, ["w1", "w2"])
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(nll), 6).alias("perplexity"),
+        )
+    )
+
+
+DOCS_LM_PPL_SQL = r"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), uni AS MATERIALIZED (
+  SELECT w, count(*) AS cu FROM (SELECT unnest(arr) AS w FROM tok) GROUP BY w
+), vsz AS (SELECT count(*) AS v FROM uni),
+pd AS MATERIALIZED (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, count(*) AS k
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - 1),
+                                             i -> [arr[i], arr[i + 1]])) AS pr
+        FROM tok WHERE len(arr) >= 2)
+  GROUP BY 1, 2, 3
+), bi AS MATERIALIZED (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM pd GROUP BY 1, 2
+)
+SELECT pd.doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(-sum(k * ln((cb + 1) / CAST(cu + v AS DOUBLE))) / sum(k), 6) AS avg_nll,
+       round(exp(-sum(k * ln((cb + 1) / CAST(cu + v AS DOUBLE))) / sum(k)), 6)
+         AS perplexity
+FROM pd JOIN bi USING (w1, w2) JOIN uni ON uni.w = pd.w1, vsz
+GROUP BY pd.doc_id
+"""
+
+
 def docs_tfidf_top_terms(spark, sf_dir):
     """Per-document TF-IDF top-3 terms (tf * ln(N/df), the classic
     relevance weighting): the keyword table a corpus search/labeling

@@ -42,3 +42,75 @@ def test_bpe_counts_pinned_and_cross_engine(spark):
             f"SELECT len(regexp_extract_all('{lit}', '{pat}'))"
         ).fetchone()
         assert dn == n, (text, dn, n)
+
+
+def test_bpe_apply_merge_is_greedy_left_to_right(spark):
+    """The JVM fold in queries._bpe_apply_merge must equal the reference
+    greedy scan on the adversarial shapes: overlapping pairs (aaa + (a,a)
+    merges left pair only), repeated non-overlapping pairs, merged
+    symbols as pair members, and no-op when the pair is absent."""
+    from basicocr_spark.queries import _bpe_apply_merge
+
+    cases = [
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "b", "a", "b"], ("a", "b"), ["ab", "ab"]),
+        (["ab", "a", "b"], ("ab", "a"), ["aba", "b"]),
+        (["x", "y"], ("a", "b"), ["x", "y"]),
+        (["q"], ("q", "q"), ["q"]),
+        ([], ("a", "b"), []),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i long, syms array<string>",
+    )
+    for i, (syms, (a, b), want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_apply_merge(F.col("syms"), a, b).alias("m"))
+            .collect()[0][0]
+        )
+        assert got == want, (syms, (a, b), got, want)
+
+
+def test_bpe_merges_match_pure_python_trainer(spark):
+    """docs_bpe_merges (the distributed trainer loop) vs an in-process
+    reference trainer on a tiny planted corpus with a known merge
+    sequence."""
+    import tempfile
+    from collections import Counter
+
+    from basicocr_spark.queries import N_BPE_MERGES, docs_bpe_merges
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide widest new new",
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = [tuple(r) for r in docs_bpe_merges(spark, d).collect()]
+
+    vocab = Counter(w for t in texts for w in t.split())
+    state = {w: tuple(w) for w in vocab}
+    ref = []
+    for rk in range(1, N_BPE_MERGES + 1):
+        stats = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += vocab[w]
+        if not stats:
+            break
+        (a, b), total = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((rk, a, b, total))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            state[w] = tuple(out)
+    assert got == ref
