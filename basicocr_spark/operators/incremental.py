@@ -1,0 +1,175 @@
+"""Recurring-crawl incremental dedup backed by a committed sketch store.
+
+`docs_incremental_dedup` (queries.py) demonstrates the two-sided
+batch x committed join shape, but recomputes the committed side's
+fingerprints/signatures from the corpus on every run. This module is the
+production loop: each ingest batch commits its dedup SKETCHES
+(fingerprints + banded minhash signatures) as an immutable snapshot with
+the same marker-last atomic visibility as plans/checkpoint.SnapshotWriter,
+and the NEXT batch's verdicts join against the committed sketch tables —
+the corpus text is never re-read or re-hashed for dedup after its batch
+commits. At 10^12 docs the committed store is the (tiny relative to text)
+sketch table, partitioned by snapshot so each crawl round appends one
+partition and reads pruned parquet.
+
+Reference analog: the crawl/ingest loop around basicOCR's batch jobs
+(docs/yangzhanku/n-gram/language-model.md's batch-counts -> merge cycle);
+the snapshot/commit discipline mirrors plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hash_kernels as HK
+
+
+def _queries():
+    # lazy: queries.py imports operators lazily too; keeps the band
+    # scheme single-sourced without a module-level cycle
+    from .. import queries as Q
+
+    return Q
+
+
+class SketchStore:
+    """Directory-model committed store for dedup sketches, one snapshot
+    per ingested batch. Layout under `root`:
+
+        fp/snapshot=<sid>/      (doc_id, fp)          parquet
+        bands/snapshot=<sid>/   (doc_id, band, sig)   parquet
+        _commits/<sid>          marker file — visibility point
+
+    Both tables write BEFORE the marker lands (atomic rename), so a
+    mid-commit crash leaves orphan files that every read ignores:
+    readers union only marker-committed snapshot dirs. Committing an
+    already-committed sid is an exactly-once no-op, same as
+    SnapshotWriter.commit."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def committed_snapshots(self) -> list[str]:
+        d = os.path.join(self.root, "_commits")
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.listdir(d))
+
+    def _read(self, table: str) -> DataFrame | None:
+        paths = [
+            os.path.join(self.root, table, f"snapshot={s}")
+            for s in self.committed_snapshots()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def committed_fingerprints(self) -> DataFrame | None:
+        """(doc_id, fp) across committed batches, None when empty."""
+        return self._read("fp")
+
+    def committed_bands(self) -> DataFrame | None:
+        """(doc_id, band, sig) across committed batches, None when empty."""
+        return self._read("bands")
+
+    def commit_batch(
+        self, fp_df: DataFrame, banded_df: DataFrame, snapshot_id: str | None = None
+    ) -> dict:
+        """Write this batch's sketches, then drop the marker LAST."""
+        from ..plans.checkpoint import next_free_sid
+
+        sids = self.committed_snapshots()
+        sid = snapshot_id or next_free_sid(sids)
+        if sid in sids:  # replayed epoch: exactly-once no-op
+            return {"snapshot_id": sid, "replayed": True}
+        fp_df.select("doc_id", "fp").write.mode("overwrite").parquet(
+            os.path.join(self.root, "fp", f"snapshot={sid}")
+        )
+        banded_df.select("doc_id", "band", "sig").write.mode("overwrite").parquet(
+            os.path.join(self.root, "bands", f"snapshot={sid}")
+        )
+        os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
+        marker = os.path.join(self.root, "_commits", sid)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.rename(tmp, marker)  # atomic on POSIX
+        return {"snapshot_id": sid, "replayed": False}
+
+
+def batch_sketches(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE fingerprint kernel pass and ONE signature kernel pass over the
+    incoming batch: (fp_df, banded_df), both lazily checkpointed — each
+    is consumed twice (verdict join + store commit), and the lazy
+    localCheckpoint makes the second consumer a cheap re-read instead of
+    a second kernel execution over the batch."""
+    Q = _queries()
+    fp_df = batch_docs.select(
+        "doc_id", HK.poly_hash_kernel(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=False)
+    banded_df = Q._banded_sigs(
+        HK.minhash_signatures_df(batch_docs, num_hashes=Q.N_MINHASH, k=3), "doc_id"
+    ).localCheckpoint(eager=False)
+    return fp_df, banded_df
+
+
+def incremental_dedup_batch(
+    batch_docs: DataFrame, store: SketchStore
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Verdicts for one incoming batch against the COMMITTED sketch
+    store: returns (verdicts, fp_df, banded_df). Verdict precedence
+    exact_dup > near_dup_candidate > new, same as
+    queries.docs_incremental_dedup — but the committed side here is the
+    store's parquet, not a recomputation of the corpus. Callers commit
+    the returned sketches after the batch's ingest succeeds:
+
+        verdicts, fp, bands = incremental_dedup_batch(batch, store)
+        ... ingest the 'new' docs ...
+        store.commit_batch(fp, bands)
+
+    Scale shape: the only wide ops are the fingerprint semi-join and the
+    two-sided band equi-join, both batch x committed (never a corpus
+    self-join); with an empty store every verdict is 'new' with zero
+    joins."""
+    fp_df, banded_df = batch_sketches(batch_docs)
+    com_fp = store.committed_fingerprints()
+    com_bands = store.committed_bands()
+    incoming = fp_df.select("doc_id")
+    if com_fp is None or com_bands is None:
+        verdicts = incoming.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_band_matches"),
+            F.lit("new").alias("verdict"),
+        )
+        return verdicts, fp_df, banded_df
+    exact = (
+        fp_df.join(com_fp.select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    near = (
+        banded_df.alias("i")
+        .join(com_bands.alias("c"), ["band", "sig"])
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("c.doc_id")).alias("n_band_matches"))
+    )
+    verdict = (
+        F.when(F.col("is_exact") == 1, "exact_dup")
+        .when(F.col("n_band_matches") > 0, "near_dup_candidate")
+        .otherwise("new")
+    )
+    verdicts = (
+        incoming.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_band_matches"), F.lit(0)).alias("n_band_matches"),
+            verdict.alias("verdict"),
+        )
+    )
+    return verdicts, fp_df, banded_df

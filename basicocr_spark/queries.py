@@ -3714,7 +3714,15 @@ def docs_incremental_dedup(spark, sf_dir):
     precedence: exact_dup > near_dup_candidate > new; candidates then
     feed the same exact-Jaccard verification as docs_near_dup_verified.
     Arrow kernels for fingerprints and signatures; the only wide ops
-    are the fp semi-join and the band equi-join."""
+    are the fp semi-join and the band equi-join.
+
+    This query recomputes BOTH sides from the corpus so the DuckDB
+    oracle can check it; the production loop persists each batch's
+    sketches via operators/incremental.SketchStore (marker-last atomic
+    snapshots, same discipline as plans/checkpoint.SnapshotWriter) and
+    the next batch joins the committed sketch parquet instead —
+    equivalence of the two shapes is pinned by
+    tests/test_incremental_store.py."""
     d = _t(spark, sf_dir, "documents")
     is_in = F.col("doc_id") % INCR_MOD == 0
 

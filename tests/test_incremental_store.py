@@ -1,0 +1,92 @@
+"""SketchStore-backed incremental dedup: the recurring-crawl loop where
+batch N's verdicts come from batch N-1's COMMITTED sketches, never from a
+recompute of the committed corpus. Pinned against
+queries.docs_incremental_dedup (which computes both sides from the corpus
+in one query) on the identical batch split."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from basicocr_spark import queries as Q  # noqa: E402
+from basicocr_spark.operators.incremental import (  # noqa: E402
+    SketchStore,
+    incremental_dedup_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_two_batch_resume_matches_single_query(spark, tmp_path):
+    """Batch 1 = the committed 80% slice (commit its sketches); batch 2 =
+    the incoming 20% slice, verdicts computed ONLY from batch 2's docs +
+    the store. Must equal docs_incremental_dedup, whose committed side is
+    recomputed from the corpus — proving the store carries the full
+    dedup state across batches."""
+    store = SketchStore(spark, str(tmp_path / "sketches"))
+    d = _docs(spark)
+    committed_docs = d.filter(F.col("doc_id") % Q.INCR_MOD != 0)
+    incoming_docs = d.filter(F.col("doc_id") % Q.INCR_MOD == 0)
+
+    v1, fp1, b1 = incremental_dedup_batch(committed_docs, store)
+    # empty store: everything in batch 1 is 'new'
+    rows1 = v1.collect()
+    assert rows1 and all(r.verdict == "new" and r.n_band_matches == 0 for r in rows1)
+    res = store.commit_batch(fp1, b1)
+    assert res["replayed"] is False
+
+    v2, fp2, b2 = incremental_dedup_batch(incoming_docs, store)
+    got = sorted(tuple(r) for r in v2.collect())
+    want = sorted(tuple(r) for r in Q.docs_incremental_dedup(spark, SF).collect())
+    assert got == want
+
+    # commit batch 2 as well; a third batch of byte-identical clones of
+    # incoming docs must now be exact dups against batch 2's sketches
+    store.commit_batch(fp2, b2)
+    clones = incoming_docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    v3, _, _ = incremental_dedup_batch(clones, store)
+    rows3 = v3.collect()
+    assert len(rows3) == 5
+    assert all(r.verdict == "exact_dup" for r in rows3)
+
+
+def test_uncommitted_sketches_are_invisible(spark, tmp_path):
+    """Crash-before-marker: sketch parquet written without the marker
+    must not influence the next batch (readers union committed snapshot
+    dirs only)."""
+    store = SketchStore(spark, str(tmp_path / "s"))
+    d = _docs(spark)
+    _, fp1, b1 = incremental_dedup_batch(d.filter(F.col("doc_id") < 100), store)
+    # simulate the crash: write data files but never drop the marker
+    fp1.select("doc_id", "fp").write.mode("overwrite").parquet(
+        str(tmp_path / "s" / "fp" / "snapshot=000000")
+    )
+    b1.select("doc_id", "band", "sig").write.mode("overwrite").parquet(
+        str(tmp_path / "s" / "bands" / "snapshot=000000")
+    )
+    assert store.committed_fingerprints() is None
+    assert store.committed_bands() is None
+    clones = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    v, _, _ = incremental_dedup_batch(clones, store)
+    assert all(r.verdict == "new" for r in v.collect())
+
+
+def test_commit_is_exactly_once_on_replay(spark, tmp_path):
+    store = SketchStore(spark, str(tmp_path / "s"))
+    d = _docs(spark).filter(F.col("doc_id") < 50)
+    _, fp, b = incremental_dedup_batch(d, store)
+    first = store.commit_batch(fp, b, snapshot_id="000000")
+    again = store.commit_batch(fp, b, snapshot_id="000000")
+    assert first["replayed"] is False and again["replayed"] is True
+    assert store.committed_snapshots() == ["000000"]
