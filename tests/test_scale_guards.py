@@ -312,3 +312,49 @@ def test_cc_loop_runs_one_job_per_round(spark):
         f"{len(after - before)} loop jobs for {rounds} rounds — a second "
         "blocking action crept back into the CC round"
     )
+
+
+def test_band_join_skew_split_fires_on_hot_bucket(spark):
+    """North-rule skew handling, audited under PLANTED skew: a hot band
+    bucket (just under LSH_BUCKET_CAP semantics: one giant (band, sig)
+    group) must trigger AQE's skew-join split on the candidate
+    generator's band self-join — the final adaptive plan shows
+    SortMergeJoin(skew=true) / AQEShuffleRead skewed, so one hot bucket
+    is processed by MANY tasks instead of one straggler. Thresholds are
+    lowered to make sandbox-sized bytes qualify; the mechanism is the
+    same one that fires at production sizes with defaults."""
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        rows = [(f"doc{i:06d}" + "x" * 60, 0, 999) for i in range(800)]
+        for b in range(300):
+            for j in range(2):
+                rows.append((f"bg{b:04d}_{j}" + "y" * 60, b % 8, 1000 + b))
+        banded = spark.createDataFrame(rows, "doc_id string, band int, sig long")
+        pairs = Q._bucket_pair_join(banded, "doc_id", "doc_a", "doc_b", cap=None)
+        got = pairs.collect()
+        # correctness unchanged under the split: hot bucket contributes
+        # C(800,2) ordered pairs, each background bucket exactly 1
+        assert len(got) == 800 * 799 // 2 + 300
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
