@@ -13,6 +13,9 @@ doesn't have.
   (exactly-once through idempotent doc_id-anti-join + atomic commit).
 - `windowed_event_counts(...)`: watermark + tumbling-window agg, the
   canonical late-data-tolerant rollup.
+- `streaming_incremental_dedup(...)`: the recurring-crawl loop as a
+  stream — per-microbatch dedup verdicts against the committed
+  SketchStore, sketches committed per epoch so later batches see them.
 """
 
 from __future__ import annotations
@@ -217,4 +220,59 @@ def deduped_doc_stream(
     )
     return fp.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
         [fingerprint_col, "fingerprint_xx"]
+    )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    sketch_root: str,
+    verdicts_root: str,
+    stream_checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The streaming form of the recurring-crawl dedup loop: a file
+    source of flat documents (doc_id, text, ...) where every microbatch
+    is verdicted against the COMMITTED SketchStore (exact fingerprint
+    semi-join + two-sided band join — batch x committed, never a corpus
+    self-join), verdicts land partitioned by epoch, and the batch's own
+    sketches commit as snapshot `epoch{N}` so the NEXT microbatch sees
+    them. Unlike deduped_doc_stream's watermark-bounded state, the
+    sketch store IS the dedup state — durable, unbounded in coverage,
+    and bounded in size (sketches, not text).
+
+    Exactly-once on replay: a redelivered epoch whose sketch snapshot is
+    already committed is skipped outright; a crash AFTER the verdict
+    write but BEFORE the sketch marker re-runs the epoch, and both
+    writes are idempotent (verdicts overwrite their epoch= partition
+    dir; commit_batch no-ops on a committed sid)."""
+    import os
+
+    from ..operators.incremental import SketchStore, incremental_dedup_batch
+
+    store = SketchStore(spark, sketch_root)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sid = f"epoch{epoch_id:06d}"
+        if sid in store.committed_snapshots():
+            return  # replayed epoch: verdicts + sketches already visible
+        if batch_df.isEmpty():
+            return
+        verdicts, fp, bands = incremental_dedup_batch(batch_df, store)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdicts_root, f"epoch={sid}")
+        )
+        store.commit_batch(fp, bands, snapshot_id=sid)
+
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .outputMode("update")
+        .start()
     )

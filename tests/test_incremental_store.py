@@ -90,3 +90,78 @@ def test_commit_is_exactly_once_on_replay(spark, tmp_path):
     again = store.commit_batch(fp, b, snapshot_id="000000")
     assert first["replayed"] is False and again["replayed"] is True
     assert store.committed_snapshots() == ["000000"]
+
+
+def test_streaming_incremental_dedup_crawl_loop(spark, tmp_path):
+    """End-to-end streaming crawl loop: two file-batches where batch 2
+    contains byte-identical clones of batch 1 docs. maxFilesPerTrigger=1
+    forces two epochs; epoch 2's verdicts must be exact_dup via the
+    sketches epoch 1 committed. A restarted stream over the same input
+    replays nothing (epoch snapshots already committed)."""
+    from basicocr_spark.operators.incremental import SketchStore
+    from basicocr_spark.streaming.pipeline import streaming_incremental_dedup
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    d = _docs(spark).filter(F.col("doc_id") < 40).select("doc_id", "text")
+    # one part file per batch (coalesce(1)), written as separate files
+    d.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    d.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b2"))
+    import glob
+    import shutil
+
+    for i, src_dir in enumerate(("b1", "b2")):
+        (part,) = glob.glob(str(tmp_path / src_dir / "part-*.parquet"))
+        shutil.copy(part, str(input_dir / f"batch{i}.parquet"))
+
+    q = streaming_incremental_dedup(
+        spark,
+        str(input_dir),
+        "doc_id long, text string",
+        str(tmp_path / "sketches"),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "stream_ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = SketchStore(spark, str(tmp_path / "sketches"))
+    assert len(store.committed_snapshots()) == 2
+    v = spark.read.option("basePath", str(tmp_path / "verdicts")).parquet(
+        str(tmp_path / "verdicts" / "epoch=*")
+    )
+    assert v.count() == 80
+    by_epoch = {
+        (r.epoch, r.verdict): r["count"]
+        for r in v.groupBy("epoch", "verdict").count().collect()
+    }
+    assert by_epoch == {
+        ("epoch000000", "new"): 40,
+        ("epoch000001", "exact_dup"): 40,
+    }, by_epoch
+
+    # restart over the same files: committed epochs are skipped, no
+    # verdict duplication, no extra snapshots
+    q2 = streaming_incremental_dedup(
+        spark,
+        str(input_dir),
+        "doc_id long, text string",
+        str(tmp_path / "sketches"),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "stream_ckpt2"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(store.committed_snapshots()) == 2
+    v2 = spark.read.option("basePath", str(tmp_path / "verdicts")).parquet(
+        str(tmp_path / "verdicts" / "epoch=*")
+    )
+    assert v2.count() == 80
