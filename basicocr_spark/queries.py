@@ -3041,6 +3041,11 @@ FROM counts QUALIFY rk <= 40
 
 N_BPE_MERGES = 20  # trainer loop depth (vocab_size - base alphabet)
 
+# BPE-loop introspection, mirroring the CC loop's (_CC_JOB_GROUP):
+# tests pin exactly one Spark job per merge round against the group.
+_BPE_JOB_GROUP = "basicocr-bpe-loop"
+LAST_BPE_STATS: dict = {}
+
 
 def _bpe_apply_merge(syms, a: str, b: str):
     """Greedy left-to-right application of one BPE merge (a, b) to a
@@ -3096,6 +3101,9 @@ def docs_bpe_merges(spark, sf_dir):
         ),
         reliable=False,
     )
+    sc = spark.sparkContext
+    prev_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(_BPE_JOB_GROUP, "BPE trainer loop")
     merges: list[tuple] = []
     for rk in range(1, N_BPE_MERGES + 1):
         pair_i = lambda i: F.struct(  # noqa: E731
@@ -3128,6 +3136,9 @@ def docs_bpe_merges(spark, sf_dir):
             reliable=False,
             eager=False,
         )
+    sc.setLocalProperty("spark.jobGroup.id", prev_group)
+    LAST_BPE_STATS.clear()
+    LAST_BPE_STATS.update({"rounds": len(merges), "job_group": _BPE_JOB_GROUP})
     return spark.createDataFrame(
         merges, "merge_rank long, sym_a string, sym_b string, freq long"
     )

@@ -358,3 +358,29 @@ def test_band_join_skew_split_fires_on_hot_bucket(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bpe_loop_runs_one_job_per_round(spark):
+    """The BPE trainer's per-round work must ride the argmax collect as
+    ONE Spark job (the lazy vocab checkpoint materializes inside it) —
+    same driver-round-trip discipline as the CC loop. AQE off so one
+    action = one job."""
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(Q._BPE_JOB_GROUP)
+        )
+        Q.docs_bpe_merges(spark, sf)
+        after = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(Q._BPE_JOB_GROUP)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    rounds = Q.LAST_BPE_STATS["rounds"]
+    assert rounds == Q.N_BPE_MERGES
+    assert len(after - before) == rounds, (
+        f"{len(after - before)} loop jobs for {rounds} rounds — extra "
+        "blocking actions crept into the BPE round"
+    )
