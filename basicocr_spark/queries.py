@@ -3195,6 +3195,74 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
 DOCS_BPE_MERGES_SQL = _duck_bpe_merges_sql()
 
 
+def docs_bpe_subword_counts(spark, sf_dir):
+    """BPE ENCODE — the learned merge table applied back to the corpus:
+    run the trainer (docs_bpe_merges), apply its merge sequence to every
+    word greedily in learned order (exactly how a trained BPE tokenizer
+    encodes at inference), and return the top-40 resulting subword
+    symbols by corpus frequency. Together with docs_bpe_merges this is
+    the full train -> encode tokenizer loop.
+
+    Scale shape: the encode is N chained JVM array folds over the
+    distinct word-frequency vocabulary (one corpus scan; the fold chain
+    is a single projection — no per-merge materialization is needed at
+    encode time because nothing is data-dependent between merges), then
+    one partial+final agg over exploded subwords weighted by word freq;
+    ranking pre-reduces via _local_topk before the top-40 window."""
+    d = _t_wide(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in docs_bpe_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()  # sanctioned-collect: the learned merge table, N_BPE_MERGES rows
+    ]
+    vocab = (
+        d.select(F.explode(TS.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    for a, b in merges:
+        syms = _bpe_apply_merge(syms, a, b)
+    counts = (
+        vocab.select("freq", F.explode(syms).alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    reduced = _local_topk(counts, 40, [], ["freq", "subword"], [False, True])
+    w = Window.orderBy(F.col("freq").desc(), F.col("subword").asc())
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("subword", "freq", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_bpe_subword_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Oracle: the trainer CTE chain's FINAL vocab state v{N} already IS
+    the encoded corpus (each v{k} applied merge k to every word), so the
+    subword counts are one unnest+agg over it."""
+    trainer = _duck_bpe_merges_sql(n_merges)
+    head, _union = trainer.split("\nSELECT", 1)
+    return (
+        head
+        + f"""
+SELECT subword, freq, row_number() OVER (ORDER BY freq DESC, subword ASC) AS rk
+FROM (
+  SELECT subword, CAST(sum(freq) AS BIGINT) AS freq
+  FROM (SELECT freq, unnest(syms) AS subword FROM v{n_merges})
+  GROUP BY subword
+) QUALIFY rk <= 40
+"""
+    )
+
+
+DOCS_BPE_SUBWORD_SQL = _duck_bpe_subword_sql()
+
+
 def docs_lm_perplexity(spark, sf_dir):
     """n-gram LM estimation + per-doc perplexity scoring — the workflow
     the reference describes past raw counts (docs/yangzhanku/n-gram/
