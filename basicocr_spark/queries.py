@@ -3047,6 +3047,21 @@ _BPE_JOB_GROUP = "basicocr-bpe-loop"
 LAST_BPE_STATS: dict = {}
 
 
+def _bpe_char_syms(w):
+    """Word -> character symbol array. The zero-length guard matters:
+    Spark's sequence(1, 0) AUTO-DESCENDS to [1, 0] (two empty substrs)
+    where DuckDB's generate_series(1, 0) is empty — and '' IS a real
+    token for tab-led text (trim strips spaces only, so split emits a
+    leading ''). Without the guard the empty word mints phantom ''
+    symbols the oracle never sees."""
+    return F.when(
+        F.length(w) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _bpe_apply_merge(syms, a: str, b: str):
     """Greedy left-to-right application of one BPE merge (a, b) to a
     symbol array, as a pure JVM fold (F.aggregate — no Python in the
@@ -3092,13 +3107,7 @@ def docs_bpe_merges(spark, sf_dir):
         d.select(F.explode(TS.tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "freq",
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda i: F.col("w").substr(i, F.lit(1)),
-            ).alias("syms"),
-        ),
+        .select("freq", _bpe_char_syms(F.col("w")).alias("syms")),
         reliable=False,
     )
     sc = spark.sparkContext
@@ -3182,7 +3191,11 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
                 THEN acc || x
                 ELSE acc || chr(31) || x END), chr(31))
     END AS syms
-  FROM v{k - 1}, b{k} m
+  -- LEFT JOIN ON TRUE, not a cross join: when the corpus runs out of
+  -- pairs before round {k} (b{k} empty), m.a/m.b are NULL, the CASE
+  -- falls through to identity, and v{k} = v{k-1} — matching the Spark
+  -- trainer's early break instead of zeroing the vocab state
+  FROM v{k - 1} LEFT JOIN b{k} m ON TRUE
 )"""
         )
     union = "\nUNION ALL\n".join(
@@ -3221,10 +3234,7 @@ def docs_bpe_subword_counts(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    syms = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
+    syms = _bpe_char_syms(F.col("w"))
     for a, b in merges:
         syms = _bpe_apply_merge(syms, a, b)
     counts = (

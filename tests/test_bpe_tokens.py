@@ -114,3 +114,37 @@ def test_bpe_merges_match_pure_python_trainer(spark):
                     out.append(x)
             state[w] = tuple(out)
     assert got == ref
+
+
+def test_bpe_trainer_merge_exhaustion_matches_oracle(spark, tmp_path):
+    """A corpus whose pair supply dies before N_BPE_MERGES: the Spark
+    trainer breaks early; the oracle's remaining rounds must be identity
+    (LEFT JOIN ON TRUE against the empty argmax), not a vocab-killing
+    cross join. Both the merge lists and the encoded subword counts must
+    agree."""
+    import duckdb
+
+    from basicocr_spark.queries import (
+        DOCS_BPE_MERGES_SQL,
+        DOCS_BPE_SUBWORD_SQL,
+        docs_bpe_merges,
+        docs_bpe_subword_counts,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "cd cd")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got_m = [tuple(r) for r in docs_bpe_merges(spark, d).collect()]
+    got_s = [tuple(r) for r in docs_bpe_subword_counts(spark, d).collect()]
+    assert len(got_m) == 2  # (a,b) then (c,d), then exhaustion
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want_m = sorted(con.execute(DOCS_BPE_MERGES_SQL).fetchall())
+    want_s = sorted(con.execute(DOCS_BPE_SUBWORD_SQL).fetchall(), key=lambda r: r[2])
+    assert sorted(got_m) == [tuple(r) for r in want_m]
+    assert got_s == [tuple(r) for r in want_s]

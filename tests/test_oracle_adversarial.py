@@ -89,6 +89,9 @@ DOC_QUERIES = [
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_incremental_dedup",
+    "docs_bpe_merges",
+    "docs_bpe_subword_counts",
+    "docs_lm_perplexity",
 ]
 EMB_QUERIES = [
     "emb_norms",
