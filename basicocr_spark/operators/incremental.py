@@ -101,6 +101,53 @@ class SketchStore:
         os.rename(tmp, marker)  # atomic on POSIX
         return {"snapshot_id": sid, "replayed": False}
 
+    def compact(self) -> dict:
+        """Merge every committed snapshot into ONE (full-row distinct on
+        both tables), for read-amplification control on a long-running
+        crawl: a year of hourly epochs is ~9k snapshot dirs per read
+        otherwise. Order of operations makes every crash window safe:
+
+          1. write the compacted fp/bands dirs under a fresh sid
+          2. drop the new marker (visibility point, atomic rename)
+          3. delete superseded markers, then their data dirs
+
+        A crash between 2 and 3 leaves old + compacted snapshots BOTH
+        visible — duplicated sketch rows, which the verdict semantics
+        tolerate by construction (the fp store feeds a left-semi join,
+        the band join counts DISTINCT committed doc ids); re-running
+        compact() afterwards converges. At 10^12 docs this is the same
+        maintenance story as Iceberg's rewrite_data_files."""
+        old = self.committed_snapshots()
+        if len(old) <= 1:
+            return {"snapshot_id": old[0] if old else None, "compacted": 0}
+        from ..plans.checkpoint import next_free_sid
+
+        sid = next_free_sid(old)
+        fp = self.committed_fingerprints().distinct()
+        bands = self.committed_bands().distinct()
+        fp.write.mode("overwrite").parquet(
+            os.path.join(self.root, "fp", f"snapshot={sid}")
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.root, "bands", f"snapshot={sid}")
+        )
+        marker = os.path.join(self.root, "_commits", sid)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.rename(tmp, marker)
+        import shutil
+
+        for s in old:
+            os.remove(os.path.join(self.root, "_commits", s))
+        for s in old:
+            for table in ("fp", "bands"):
+                shutil.rmtree(
+                    os.path.join(self.root, table, f"snapshot={s}"),
+                    ignore_errors=True,
+                )
+        return {"snapshot_id": sid, "compacted": len(old)}
+
 
 def batch_sketches(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """ONE fingerprint kernel pass and ONE signature kernel pass over the

@@ -165,3 +165,59 @@ def test_streaming_incremental_dedup_crawl_loop(spark, tmp_path):
         str(tmp_path / "verdicts" / "epoch=*")
     )
     assert v2.count() == 80
+
+
+def test_compact_merges_snapshots_and_preserves_verdicts(spark, tmp_path):
+    """Three committed batches -> compact -> ONE snapshot, identical
+    verdicts for a probe batch before and after; and in the crash window
+    where old markers still coexist with the compacted one, duplicated
+    sketch rows must not change any verdict (semi-join / countDistinct
+    tolerance by construction)."""
+    import os
+    import shutil
+
+    store = SketchStore(spark, str(tmp_path / "s"))
+    d = _docs(spark)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        _, fp, b = incremental_dedup_batch(
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), store
+        )
+        store.commit_batch(fp, b)
+    assert len(store.committed_snapshots()) == 3
+
+    probe = d.filter(F.col("doc_id") >= 300)
+    before, _, _ = incremental_dedup_batch(probe, store)
+    before_rows = sorted(tuple(r) for r in before.collect())
+
+    # crash window: compacted snapshot written+committed, old markers
+    # not yet deleted -> simulate by snapshotting _commits, compacting,
+    # then restoring the old markers alongside the new one
+    commits_dir = tmp_path / "s" / "_commits"
+    saved = {p: (commits_dir / p).read_text() for p in os.listdir(commits_dir)}
+    data_backup = tmp_path / "backup"
+    shutil.copytree(tmp_path / "s", data_backup)
+
+    res = store.compact()
+    assert res["compacted"] == 3
+    assert len(store.committed_snapshots()) == 1
+    after, _, _ = incremental_dedup_batch(probe, store)
+    assert sorted(tuple(r) for r in after.collect()) == before_rows
+
+    # restore old markers AND old data dirs next to the compacted one
+    for name, content in saved.items():
+        (commits_dir / name).write_text(content)
+    for table in ("fp", "bands"):
+        for snap in os.listdir(data_backup / table):
+            src = data_backup / table / snap
+            dst = tmp_path / "s" / table / snap
+            if not dst.exists():
+                shutil.copytree(src, dst)
+    assert len(store.committed_snapshots()) == 4  # duplicates visible
+    dup, _, _ = incremental_dedup_batch(probe, store)
+    assert sorted(tuple(r) for r in dup.collect()) == before_rows
+    # re-running compact converges back to one snapshot
+    res2 = store.compact()
+    assert res2["compacted"] == 4
+    assert len(store.committed_snapshots()) == 1
+    final, _, _ = incremental_dedup_batch(probe, store)
+    assert sorted(tuple(r) for r in final.collect()) == before_rows
