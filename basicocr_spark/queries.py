@@ -3635,6 +3635,175 @@ FROM s
 """
 
 
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
+PQ_SUBDIM = 8
+PQ_PLANES = 2  # 2 sign planes -> up to 4 centroids per subspace
+
+
+def _pq_sq_l2(a, b):
+    """In-order squared-L2 fold between two equal-length arrays — both
+    engines fold index-ascending from 0.0, so the doubles are
+    bit-identical before the boundary round."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def emb_pq_topk(spark, sf_dir):
+    """Product quantization ANN (Jegou et al. 2011) — the index family
+    that actually fits 10^12 embeddings in memory: split each vector
+    into PQ_M subspaces, learn a per-subspace codebook (deterministic
+    training: sign-plane LSH initial assignment -> per-bucket mean, one
+    k-means step), encode every vector as PQ_M small codes, and answer
+    queries by asymmetric distance (ADC): a per-query distance TABLE
+    against each subspace codebook, then a sum of table lookups per
+    encoded vector — no full-vector math at query time. Top-2 neighbors
+    for probes vec_id < 30 by ADC distance.
+
+    Scale shape: the codebook build rides group_vector_sums_df partials
+    (subvector rows are byte-equal to the input, never an n x d scalar
+    explode); the codes table is PQ_M small ints per vector (the 32x
+    compression that makes the corpus scannable); the query joins
+    broadcast a (queries x M x K) distance table against the codes scan;
+    per-query ranking is a bounded partitioned window. Cross-engine
+    determinism: centroids, per-code distances, and ADC sums all round
+    at 6dp with index-order folds, ties break on (k), (vec_id)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice("embedding", m * F.lit(PQ_SUBDIM) + 1, PQ_SUBDIM),
+            )
+        ).alias("m", "sub"),
+    ).localCheckpoint(eager=False)  # consumed by build, encode, and probes
+    # codebook: LSH-bucket init -> per-bucket mean via the kernel partials
+    gsubs = subs.select(
+        (F.col("m") * F.lit(100) + V.hyperplane_sign_bucket(F.col("sub"), PQ_PLANES))
+        .cast("long")
+        .alias("gk"),
+        F.col("sub").alias("embedding"),
+    )
+    partials = V.group_vector_sums_df(gsubs, "gk", "embedding")
+    flat = partials.select(
+        "gk", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
+    )
+    cents_flat = flat.groupBy("gk", "dim").agg(
+        (F.sum(F.col("sc.sums")) / F.sum(F.col("sc.counts"))).alias("c")
+    )
+    codebook = (
+        cents_flat.groupBy("gk")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            (F.col("gk") / 100).cast("int").alias("m"),
+            (F.col("gk") % 100).cast("int").alias("k"),
+            F.transform("dc", lambda x: F.round(x["c"], 6)).alias("cent"),
+        )
+    )
+    # encode: argmin rounded squared-L2 over the subspace's centroids
+    scored_codes = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("k").asc()
+    )
+    codes = (
+        scored_codes.withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "k")
+    )
+    # per-query distance table, broadcast against the codes scan
+    dtab = (
+        subs.filter(F.col("vec_id") < 30)
+        .select(F.col("vec_id").alias("q_id"), "m", F.col("sub").alias("qsub"))
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "q_id", "m", "k", F.round(_pq_sq_l2(F.col("qsub"), F.col("cent")), 6).alias("qd")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc"))
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "vec_id", "adc", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _duck_pq_sql() -> str:
+    sq = lambda a, b: (
+        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, (x, i) -> (CAST(x AS DOUBLE) - {b}[i]) * "
+        f"(CAST(x AS DOUBLE) - {b}[i]))), (p, q) -> p + q), 6)"
+    )
+    # sign-plane bucket of a subvector: Spark's j in 0..PQ_PLANES-1 with
+    # 0-based i -> (i+1)(j+1); DuckDB i is 1-based -> i*(j+1)
+    planes = []
+    for j in range(PQ_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(sub, (x, i) -> CAST(x AS DOUBLE) * "
+            f"((CAST((i * {j + 1} * 2654435761) % 1000 AS DOUBLE)) / 499.5 - 1.0))), "
+            f"(p, q) -> p + q)"
+        )
+        planes.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (PQ_PLANES - 1 - j)} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+subs AS MATERIALIZED (
+  SELECT vec_id, m,
+         embedding[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM e CROSS JOIN ms
+), bucketed AS (
+  SELECT vec_id, m, sub, {bucket} AS k FROM subs
+), per_dim AS (
+  SELECT m, k, dim, round(avg(v), 6) AS c FROM (
+    SELECT m, k, generate_subscripts(sub, 1) AS dim, CAST(unnest(sub) AS DOUBLE) AS v
+    FROM bucketed
+  ) GROUP BY m, k, dim
+), codebook AS MATERIALIZED (
+  SELECT m, k, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS cent
+  FROM per_dim GROUP BY m, k
+), codes AS MATERIALIZED (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, cb.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {sq("s.sub", "cb.cent")} ASC, cb.k ASC) AS rk
+    FROM subs s JOIN codebook cb ON cb.m = s.m
+  ) WHERE rk = 1
+), dtab AS MATERIALIZED (
+  SELECT s.vec_id AS q_id, s.m, cb.k, {sq("s.sub", "cb.cent")} AS qd
+  FROM subs s JOIN codebook cb ON cb.m = s.m
+  WHERE s.vec_id < 30
+), adc AS (
+  SELECT d.q_id, c.vec_id, round(sum(d.qd), 6) AS adc
+  FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.k AND c.vec_id != d.q_id
+  GROUP BY d.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+  FROM adc
+) WHERE rk <= 2
+"""
+
+
+EMB_PQ_SQL = _duck_pq_sql()
+
+
 def emb_scalar_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding corpus (the standard
     4x ANN index compression; Jegou et al.'s SQ baseline): global

@@ -98,6 +98,7 @@ EMB_QUERIES = [
     "emb_cosine_topk",
     "emb_near_dup_cosine",
     "emb_scalar_quantize",
+    "emb_pq_topk",
 ]
 
 
