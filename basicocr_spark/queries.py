@@ -3635,6 +3635,94 @@ FROM s
 """
 
 
+# LM-perplexity acceptance band for the combined quality gate: gibberish
+# scores HIGH ppl, templated boilerplate scores very LOW ppl — both tails
+# are dropped (the KenLM-filter convention).
+LM_PPL_LO = 10.0
+LM_PPL_HI = 30.0
+
+
+def docs_quality_lm_filter(spark, sf_dir):
+    """The combined production quality gate — heuristic signals AND the
+    LM signal in one decision table: per (predicted language, decision,
+    reason) doc counts, where reason is the FIRST failing gate in fixed
+    order (short -> low_quality -> no_ppl -> ppl_high -> ppl_low -> ok).
+    This is the composition a real corpus pipeline ships: Gopher-style
+    heuristics catch structural junk, the LM band catches fluent-looking
+    gibberish (high ppl) and templated boilerplate (low ppl) that
+    heuristics pass. Scale shape: one corpus pass for the heuristics,
+    the LM leg reuses docs_lm_perplexity's reduced-join shape, the
+    decision join is doc-keyed, and the output agg is partial+final."""
+    d = _t(spark, sf_dir, "documents")
+    ppl = docs_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    sig = d.select(
+        "doc_id",
+        TS.lang_id(F.col("text")).alias("pred_lang"),
+        TS.token_count(F.col("text")).alias("nw"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+    reason = (
+        F.when(F.col("nw") < 20, "short")
+        .when(F.col("quality") < 0.75, "low_quality")
+        .when(F.col("perplexity").isNull(), "no_ppl")
+        .when(F.col("perplexity") > LM_PPL_HI, "ppl_high")
+        .when(F.col("perplexity") < LM_PPL_LO, "ppl_low")
+        .otherwise("ok")
+    )
+    return (
+        sig.join(ppl, "doc_id", "left")
+        .select(
+            "pred_lang",
+            F.when(reason == "ok", "keep").otherwise("drop").alias("decision"),
+            reason.alias("reason"),
+        )
+        .groupBy("pred_lang", "decision", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _duck_quality_lm_sql() -> str:
+    return rf"""
+WITH ppl AS ({DOCS_LM_PPL_SQL}),
+sig AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+         length(regexp_replace(text, '[^0-9A-Za-z\s一-龥]', '', 'g')) AS n_keep,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+  FROM documents
+), scored AS (
+  SELECT doc_id, {_lang_case_sql()} AS pred_lang, nw,
+         round((
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw > 0 AND n_nospace / CAST(nw AS DOUBLE) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE (n - n_keep) / CAST(n AS DOUBLE) END) <= 0.2
+                 THEN 1.0 ELSE 0.0 END) +
+           (CASE WHEN nw >= 5 THEN 1.0 ELSE 0.0 END)
+         ) / 4.0, 4) AS quality
+  FROM sig
+), decided AS (
+  SELECT pred_lang,
+         CASE WHEN nw < 20 THEN 'short'
+              WHEN quality < 0.75 THEN 'low_quality'
+              WHEN perplexity IS NULL THEN 'no_ppl'
+              WHEN perplexity > {LM_PPL_HI} THEN 'ppl_high'
+              WHEN perplexity < {LM_PPL_LO} THEN 'ppl_low'
+              ELSE 'ok' END AS reason
+  FROM scored LEFT JOIN ppl USING (doc_id)
+)
+SELECT pred_lang,
+       CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision,
+       reason, count(*) AS n
+FROM decided GROUP BY 1, 2, 3
+"""
+
+
+DOCS_QUALITY_LM_SQL = _duck_quality_lm_sql()
+
+
 PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
 PQ_SUBDIM = 8
 PQ_PLANES = 2  # 2 sign planes -> up to 4 centroids per subspace

@@ -92,6 +92,7 @@ DOC_QUERIES = [
     "docs_bpe_merges",
     "docs_bpe_subword_counts",
     "docs_lm_perplexity",
+    "docs_quality_lm_filter",
 ]
 EMB_QUERIES = [
     "emb_norms",
