@@ -36,6 +36,30 @@ from basicocr_spark.operators.salting import (
 from basicocr_spark.plans.checkpoint import SnapshotWriter
 
 
+def load_recognizer(spec: str | None, model_path: str | None):
+    """CLI resolution of the resolve_recognizer seam. Exactly one of:
+    --recognizer-model <path>: a TorchScript CRNN checkpoint, adapted via
+    crnn_forward_from_torchscript. --recognizer <module>:<attr>: attr is
+    a ZERO-ARG FACTORY returning the forward callable (list[media_ref]
+    -> list[logits|None]); a factory (not the callable itself) so user
+    config rides module state instead of CLI plumbing. Neither: None —
+    the fused kernels use the broadcast fixture-logits default."""
+    if model_path and spec:
+        raise SystemExit("--recognizer and --recognizer-model are exclusive")
+    if model_path:
+        from basicocr_spark.operators.extraction import crnn_forward_from_torchscript
+
+        return crnn_forward_from_torchscript(model_path)
+    if spec is None:
+        return None
+    import importlib
+
+    mod, sep, attr = spec.partition(":")
+    if not sep or not attr:
+        raise SystemExit(f"--recognizer must be <module>:<factory>, got {spec!r}")
+    return getattr(importlib.import_module(mod), attr)()
+
+
 def run(
     spark: SparkSession,
     input_dir: str,
@@ -44,6 +68,7 @@ def run(
     max_spans: int = 64,
     n_partitions: int | None = None,
     catalog_table: str | None = None,
+    recognizer=None,
 ) -> dict:
     n_parts = n_partitions or spark.sparkContext.defaultParallelism * 2
     docs = spark.read.schema(S.DOCUMENTS).parquet(input_dir)
@@ -63,7 +88,9 @@ def run(
         keyed = salted.select(
             salt_key(F.col("doc_id"), F.col("salt")).alias("doc_id"), "spans"
         )
-        extracted = extract_documents_fused_arrow(keyed, logits_rows, dict_lines, FX.STOP_TERMS)
+        extracted = extract_documents_fused_arrow(
+            keyed, logits_rows, dict_lines, FX.STOP_TERMS, recognizer=recognizer
+        )
         did, salt = split_salt_key(F.col("doc_id"))
         merged = merge_salted_extraction(
             extracted.select(did.alias("doc_id"), salt.alias("salt"), "spans")
@@ -91,6 +118,19 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=100_000)
     ap.add_argument("--max-spans", type=int, default=64)
     ap.add_argument(
+        "--recognizer",
+        default=None,
+        help="module:factory - zero-arg factory returning the model forward "
+        "(list[media_ref] -> list[logits|None]); replaces the fixture-logits "
+        "default (see operators.extraction.resolve_recognizer)",
+    )
+    ap.add_argument(
+        "--recognizer-model",
+        default=None,
+        help="TorchScript CRNN checkpoint path, adapted via "
+        "crnn_forward_from_torchscript (requires torch on executors)",
+    )
+    ap.add_argument(
         "--catalog-table",
         default=None,
         help="Iceberg table name (e.g. cat.db.extracted): snapshots commit "
@@ -115,6 +155,7 @@ def main() -> None:
             args.batch_size,
             args.max_spans,
             catalog_table=args.catalog_table,
+            recognizer=load_recognizer(args.recognizer, args.recognizer_model),
         )
         print(json.dumps(stats))
     finally:
