@@ -165,6 +165,8 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             # and the bigram-LM perplexity scorer
             "docs_bpe_merges",
             "docs_lm_perplexity",
+            "emb_pq_topk",
+            "docs_quality_lm_filter",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —

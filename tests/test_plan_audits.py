@@ -322,3 +322,15 @@ def test_dup_clusters_loop_state_is_graph_sized(spark):
     for d, rep in full.items():
         if d not in vert:
             assert rep == d  # isolated docs are their own cluster
+
+
+def test_pq_codes_join_broadcasts_the_codebook(spark):
+    """emb_pq_topk's encode and distance-table joins must broadcast the
+    dictionary-sized codebook (M x K rows) against the corpus-sized
+    subvector/codes scans — a shuffled codebook join at 10^12 vectors
+    would move the corpus for a table that fits in one packet."""
+    df = Q.emb_pq_topk(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # ranking windows are all partitioned (vec_id,m / q_id) — no empty
+    # partition spec (also enforced catalog-wide)
