@@ -3322,13 +3322,17 @@ def docs_lm_perplexity(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     bi = per_doc.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    # enrich the MODEL side first (bi x uni is model-sized), so the
+    # corpus-sized per-doc table shuffles exactly once, on (w1, w2) —
+    # joining uni onto per_doc instead would re-shuffle the doc-bigram
+    # table a second time on w1
+    model = bi.join(
+        uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+    )
     log_p = F.log((F.col("cb") + 1) / (F.col("cu1") + F.col("v")).cast("double"))
     nll = -F.sum(F.col("k") * log_p) / F.sum("k")
     return (
-        per_doc.join(bi, ["w1", "w2"])
-        .join(
-            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
-        )
+        per_doc.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
