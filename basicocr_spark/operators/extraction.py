@@ -143,7 +143,12 @@ def crnn_forward_from_torchscript(model_path: str, fetch_decode=None):
                 from .multimodal import resolve_decoder
 
                 dec = resolve_decoder()
-                state["fetch"] = lambda ref: dec(open(ref, "rb").read())
+
+                def _fetch(ref):
+                    with open(ref, "rb") as fh:  # no leaked fds on workers
+                        return dec(fh.read())
+
+                state["fetch"] = _fetch
             else:
                 state["fetch"] = fetch_decode
         torch, model, fetch = state["torch"], state["model"], state["fetch"]
@@ -157,7 +162,11 @@ def crnn_forward_from_torchscript(model_path: str, fetch_decode=None):
             img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
             x = torch.from_numpy(img.astype(np.float32) / 127.5 - 1.0)[None, None]
             with torch.no_grad():
-                out.append(model(x).squeeze().cpu().numpy())
+                y = model(x).cpu().numpy()
+            # (T, C) for the decoder: collapse the singleton batch/channel
+            # dims ONLY — a bare squeeze() would also drop T when T == 1
+            # and the decoder's argmax(axis=1) dies on a 1-D array
+            out.append(y.reshape(-1, y.shape[-1]))
         return out
 
     return forward
@@ -166,8 +175,8 @@ def crnn_forward_from_torchscript(model_path: str, fetch_decode=None):
 def _worker_recognizer(
     b_logits, b_dict, b_stop, job_token, alphabet, max_cost, forward=None
 ):
-    """Executor-side: (vectorized text extractor, memoized recognize,
-    batched recognize_batch). One definition for all three fused kernels
+    """Executor-side: (vectorized text extractor, memoized batched
+    recognize_batch). One definition for all three fused kernels
     — the decode+correct memo semantics are part of the
     cross-implementation equality surface, so they must not drift
     between kernels. `forward` is the resolve_recognizer seam; None
@@ -213,17 +222,21 @@ def _worker_recognizer(
             if r not in media_memo and not (r in seen or seen.add(r))
         ]
         if misses:
-            for r, lg in zip(misses, forward(misses)):
+            got = list(forward(misses))
+            if len(got) != len(misses):
+                # fail AT the seam with the contract named — zip would
+                # silently truncate and surface later as a bare KeyError
+                raise ValueError(
+                    "recognizer forward returned "
+                    f"{len(got)} results for {len(misses)} refs; the "
+                    "protocol is list[ref] -> list[logits|None], "
+                    "same length, same order"
+                )
+            for r, lg in zip(misses, got):
                 media_memo[r] = _decode_correct(lg)
         return {r: media_memo[r] for r in refs}
 
-    def recognize(ref) -> str:
-        txt = media_memo.get(ref)
-        if txt is None:
-            txt = media_memo[ref] = _decode_correct(forward([ref])[0])
-        return txt
-
-    return cache["extract"], recognize, recognize_batch
+    return cache["extract"], recognize_batch
 
 
 def recognizer_from_batch_fn(batch_fn):
@@ -483,7 +496,7 @@ def extract_documents_fused(
     fwd = resolve_recognizer(recognizer)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extract_text_vec, _, recognize_batch = _worker_recognizer(
+        extract_text_vec, recognize_batch = _worker_recognizer(
             *sides, alphabet, max_cost, forward=fwd
         )
 
@@ -569,7 +582,7 @@ def extract_documents_fused_arrow(
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        extract_text_vec, _, recognize_batch = _worker_recognizer(
+        extract_text_vec, recognize_batch = _worker_recognizer(
             *sides, alphabet, max_cost, forward=fwd
         )
 
@@ -687,7 +700,7 @@ def extract_spans_flat(
     )
 
     def kernel(batches):
-        extract_text_vec, _, recognize_batch = _worker_recognizer(
+        extract_text_vec, recognize_batch = _worker_recognizer(
             *sides, alphabet, max_cost, forward=fwd
         )
 

@@ -54,10 +54,12 @@ class SketchStore:
         self.root = root
 
     def committed_snapshots(self) -> list[str]:
-        d = os.path.join(self.root, "_commits")
-        if not os.path.isdir(d):
-            return []
-        return sorted(os.listdir(d))
+        # reuse checkpoint.committed_snapshots: it excludes "<sid>.tmp"
+        # leftovers from a crash between the tmp write and the rename —
+        # a raw listdir would count the phantom as committed
+        from ..plans.checkpoint import committed_snapshots
+
+        return sorted(committed_snapshots(self.root))
 
     def _read(self, table: str) -> DataFrame | None:
         paths = [

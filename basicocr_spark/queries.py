@@ -45,7 +45,11 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             os.path.getsize(f.removeprefix("file:")) for f in files
         )
     except OSError:
-        total = 0
+        # non-local URIs (hdfs://, s3://) aren't os.path-statable: assume
+        # BIG — a large object-store file splits into many scan tasks by
+        # itself, and mis-assuming small would re-shuffle the whole table
+        # (the exact pure-cost case this gate exists to avoid)
+        return df
     # a scan splits into ~one task per maxPartitionBytes (128 MB
     # default) per file: enough files or enough bytes means production
     # scan parallelism is already there and the shuffle would be pure
@@ -2438,9 +2442,13 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
                 .join(labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id")
                 .observe(
                     obs,
-                    F.sum((F.col("rep") != F.col("old_rep")).cast("long")).alias(
-                        "changed"
-                    ),
+                    # coalesce: SUM over zero rows is NULL — an empty dup
+                    # graph must read as 0 changes (break after round 1),
+                    # not None != 0 (12 wasted rounds)
+                    F.coalesce(
+                        F.sum((F.col("rep") != F.col("old_rep")).cast("long")),
+                        F.lit(0),
+                    ).alias("changed"),
                 )
                 .select("doc_id", "rep"),
                 reliable,
@@ -2450,10 +2458,11 @@ def _dup_graph_labels(spark, sf_dir, reliable: bool = False) -> DataFrame:
             for cached in pend:  # reliable mode: round's action is done
                 cached.unpersist()
             labels = jumped
-            if changed == 0:
+            if not changed:
                 break
     finally:
         sc.setLocalProperty("spark.jobGroup.id", prev_group)
+        sc.setLocalProperty("spark.job.description", None)
     LAST_CC_STATS.clear()
     LAST_CC_STATS.update({"rounds": rounds, "job_group": _CC_JOB_GROUP})
     return labels
@@ -3085,12 +3094,13 @@ def _bpe_apply_merge(syms, a: str, b: str):
     )
 
 
-def docs_bpe_merges(spark, sf_dir):
+def _bpe_train(spark, sf_dir) -> tuple[list[tuple], DataFrame]:
     """The full BPE TRAINER loop (Sennrich et al. 2016) — count adjacent
     symbol pairs, merge the argmax pair, recount — for N_BPE_MERGES
-    rounds, returning the learned merge table (rank, pair, frequency):
-    the tokenizer-training step downstream of a cleaned corpus.
-    docs_bpe_pair_counts is this loop's first iteration.
+    rounds. Returns (merges, final_vocab): the learned merge table rows
+    AND the trainer's final (freq, syms) vocabulary state, which IS the
+    encoded corpus — docs_bpe_subword_counts consumes it directly
+    instead of re-running the trainer and re-applying the fold chain.
 
     Scale shape: ONE corpus scan total — the loop state is the distinct
     WORD-FREQUENCY vocabulary (millions of rows at 100 TB, not the
@@ -3114,40 +3124,53 @@ def docs_bpe_merges(spark, sf_dir):
     prev_group = sc.getLocalProperty("spark.jobGroup.id")
     sc.setJobGroup(_BPE_JOB_GROUP, "BPE trainer loop")
     merges: list[tuple] = []
-    for rk in range(1, N_BPE_MERGES + 1):
-        pair_i = lambda i: F.struct(  # noqa: E731
-            F.element_at(F.col("syms"), i).alias("a"),
-            F.element_at(F.col("syms"), i + 1).alias("b"),
-        )
-        best = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(F.sequence(F.lit(1), F.size("syms") - 1), pair_i)
-                ).alias("p"),
+    try:
+        for rk in range(1, N_BPE_MERGES + 1):
+            pair_i = lambda i: F.struct(  # noqa: E731
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
             )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("total"))
-            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()  # sanctioned-collect: argmax row, 1 row/round
-        )
-        if not best:
-            break
-        a, b, total = best[0].a, best[0].b, int(best[0].total)
-        merges.append((rk, a, b, total))
-        # lazy checkpoint: materialized by the NEXT round's argmax — one
-        # blocking job per round, lineage truncated (same discipline as
-        # the CC loop)
-        vocab = _materialize(
-            vocab.withColumn("syms", _bpe_apply_merge(F.col("syms"), a, b)),
-            reliable=False,
-            eager=False,
-        )
-    sc.setLocalProperty("spark.jobGroup.id", prev_group)
+            best = (
+                vocab.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.transform(F.sequence(F.lit(1), F.size("syms") - 1), pair_i)
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("total"))
+                .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()  # sanctioned-collect: argmax row, 1 row/round
+            )
+            if not best:
+                break
+            a, b, total = best[0].a, best[0].b, int(best[0].total)
+            merges.append((rk, a, b, total))
+            # lazy checkpoint: materialized by the NEXT round's argmax —
+            # one blocking job per round, lineage truncated (same
+            # discipline as the CC loop)
+            vocab = _materialize(
+                vocab.withColumn("syms", _bpe_apply_merge(F.col("syms"), a, b)),
+                reliable=False,
+                eager=False,
+            )
+    finally:
+        # try/finally + clear the description too: a mid-loop failure
+        # must not leave later unrelated jobs mis-attributed to the group
+        sc.setLocalProperty("spark.jobGroup.id", prev_group)
+        sc.setLocalProperty("spark.job.description", None)
     LAST_BPE_STATS.clear()
     LAST_BPE_STATS.update({"rounds": len(merges), "job_group": _BPE_JOB_GROUP})
+    return merges, vocab
+
+
+def docs_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (rank, pair, frequency) — see _bpe_train
+    for the loop and its scale shape. docs_bpe_pair_counts is the loop's
+    first iteration."""
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank long, sym_a string, sym_b string, freq long"
     )
@@ -3157,8 +3180,13 @@ def _duck_bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
     """Unrolled DuckDB twin of the docs_bpe_merges trainer: per round, a
     pair-count CTE, an argmax CTE, and a merge-application CTE (the same
     greedy replace-last fold via list_reduce over a chr(31)-delimited
-    accumulator — merged symbols never contain the separator because
-    symbols come from whitespace-split tokens). Every CTE is
+    accumulator). Known SQL-twin limitation: \\x1f is NOT regex
+    whitespace, so a pathological token CONTAINING chr(31) would corrupt
+    the accumulator split and diverge from Spark (whose array fold has
+    no in-band separator at all) — a false-mismatch risk of the oracle
+    only, impossible on the driver's corpora and flagged here so a
+    future parity failure on exotic input reads as oracle artifact, not
+    engine bug. Every CTE is
     MATERIALIZED: DuckDB inlines CTEs by default, and v{k}/b{k} are each
     referenced twice, so inlining would blow the chain up exponentially
     (2^N scans of the corpus)."""
@@ -3210,35 +3238,23 @@ DOCS_BPE_MERGES_SQL = _duck_bpe_merges_sql()
 
 def docs_bpe_subword_counts(spark, sf_dir):
     """BPE ENCODE — the learned merge table applied back to the corpus:
-    run the trainer (docs_bpe_merges), apply its merge sequence to every
-    word greedily in learned order (exactly how a trained BPE tokenizer
-    encodes at inference), and return the top-40 resulting subword
+    run the trainer (_bpe_train), whose per-round folds applied the
+    merge sequence to every word greedily in learned order (exactly how
+    a trained BPE tokenizer encodes), and return the top-40 subword
     symbols by corpus frequency. Together with docs_bpe_merges this is
     the full train -> encode tokenizer loop.
 
-    Scale shape: the encode is N chained JVM array folds over the
-    distinct word-frequency vocabulary (one corpus scan; the fold chain
-    is a single projection — no per-merge materialization is needed at
-    encode time because nothing is data-dependent between merges), then
-    one partial+final agg over exploded subwords weighted by word freq;
-    ranking pre-reduces via _local_topk before the top-40 window."""
-    d = _t_wide(spark, sf_dir, "documents")
-    merges = [
-        (r.sym_a, r.sym_b)
-        for r in docs_bpe_merges(spark, sf_dir)
-        .orderBy("merge_rank")
-        .collect()  # sanctioned-collect: the learned merge table, N_BPE_MERGES rows
-    ]
-    vocab = (
-        d.select(F.explode(TS.tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    syms = _bpe_char_syms(F.col("w"))
-    for a, b in merges:
-        syms = _bpe_apply_merge(syms, a, b)
+    Scale shape: the trainer's FINAL vocabulary state already IS the
+    encoded corpus (each round applied its merge to every word), so the
+    encode step is ONE explode+agg over that checkpointed state — no
+    second trainer run, no second corpus scan, no re-applied fold chain
+    (the DuckDB oracle reuses its v{N} CTE the same way); ranking
+    pre-reduces via _local_topk before the top-40 window. Encoding NEW
+    text against a saved merge table is the same _bpe_char_syms +
+    chained _bpe_apply_merge projection the trainer applies per round."""
+    _, vocab = _bpe_train(spark, sf_dir)
     counts = (
-        vocab.select("freq", F.explode(syms).alias("subword"))
+        vocab.select("freq", F.explode("syms").alias("subword"))
         .groupBy("subword")
         .agg(F.sum("freq").alias("freq"))
     )

@@ -246,15 +246,34 @@ def streaming_incremental_dedup(
     already committed is skipped outright; a crash AFTER the verdict
     write but BEFORE the sketch marker re-runs the epoch, and both
     writes are idempotent (verdicts overwrite their epoch= partition
-    dir; commit_batch no-ops on a committed sid)."""
+    dir; commit_batch no-ops on a committed sid).
+
+    Epoch ids are only meaningful WITHIN one stream checkpoint lineage
+    (Spark renumbers batches from 0 under a fresh checkpoint dir, with a
+    different epoch->input mapping), so the snapshot id is namespaced by
+    a lineage token minted inside the checkpoint dir: restarting with
+    the SAME dir resumes exactly-once; pointing at a FRESH dir is a new
+    stream that reprocesses all input under new sids — Spark's own
+    semantics — instead of silently skipping never-processed batches
+    whose epoch number happens to collide with a committed one."""
     import os
+    import uuid
 
     from ..operators.incremental import SketchStore, incremental_dedup_batch
 
     store = SketchStore(spark, sketch_root)
+    os.makedirs(stream_checkpoint_dir, exist_ok=True)
+    lineage_file = os.path.join(stream_checkpoint_dir, "basicocr_lineage")
+    if not os.path.exists(lineage_file):
+        tmp = lineage_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex[:12])
+        os.rename(tmp, lineage_file)
+    with open(lineage_file) as f:
+        lineage = f.read().strip()
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sid = f"epoch{epoch_id:06d}"
+        sid = f"{lineage}-epoch{epoch_id:06d}"
         if sid in store.committed_snapshots():
             return  # replayed epoch: verdicts + sketches already visible
         if batch_df.isEmpty():

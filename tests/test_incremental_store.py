@@ -131,7 +131,11 @@ def test_streaming_incremental_dedup_crawl_loop(spark, tmp_path):
         q.stop()
 
     store = SketchStore(spark, str(tmp_path / "sketches"))
-    assert len(store.committed_snapshots()) == 2
+    sids = store.committed_snapshots()
+    assert len(sids) == 2
+    # sids are namespaced by the checkpoint-lineage token, epoch-ordered
+    lineage = (tmp_path / "stream_ckpt" / "basicocr_lineage").read_text().strip()
+    assert sids == [f"{lineage}-epoch000000", f"{lineage}-epoch000001"]
     v = spark.read.option("basePath", str(tmp_path / "verdicts")).parquet(
         str(tmp_path / "verdicts" / "epoch=*")
     )
@@ -141,19 +145,20 @@ def test_streaming_incremental_dedup_crawl_loop(spark, tmp_path):
         for r in v.groupBy("epoch", "verdict").count().collect()
     }
     assert by_epoch == {
-        ("epoch000000", "new"): 40,
-        ("epoch000001", "exact_dup"): 40,
+        (f"{lineage}-epoch000000", "new"): 40,
+        (f"{lineage}-epoch000001", "exact_dup"): 40,
     }, by_epoch
 
-    # restart over the same files: committed epochs are skipped, no
-    # verdict duplication, no extra snapshots
+    # restart with the SAME checkpoint dir (the exactly-once contract —
+    # a fresh dir is a NEW stream lineage that reprocesses all input
+    # under new sids): no verdict duplication, no extra snapshots
     q2 = streaming_incremental_dedup(
         spark,
         str(input_dir),
         "doc_id long, text string",
         str(tmp_path / "sketches"),
         str(tmp_path / "verdicts"),
-        str(tmp_path / "stream_ckpt2"),
+        str(tmp_path / "stream_ckpt"),
         max_files_per_trigger=1,
     )
     try:

@@ -123,3 +123,17 @@ def test_resolve_recognizer_rejects_non_callable():
     assert resolve_recognizer(None) is None
     f = lambda refs: [None] * len(refs)  # noqa: E731
     assert resolve_recognizer(f) is f
+
+
+def test_short_forward_return_fails_at_the_seam(fx):
+    """A forward returning fewer results than refs must raise a
+    descriptive contract error inside the kernel, not a bare KeyError
+    later."""
+    def broken(refs):
+        return [None for _ in refs][:-1]  # off-by-one short
+
+    out = extract_documents_fused(
+        fx["documents"], [], fx["dict_lines"], STOP_TERMS, recognizer=broken
+    )
+    with pytest.raises(Exception, match="recognizer forward returned"):
+        flatten_extracted(out).count()

@@ -384,3 +384,18 @@ def test_bpe_loop_runs_one_job_per_round(spark):
         f"{len(after - before)} loop jobs for {rounds} rounds — extra "
         "blocking actions crept into the BPE round"
     )
+
+
+def test_cc_loop_converges_round_one_on_dupfree_corpus(spark, tmp_path):
+    """Empty dup graph: the observed changed-count aggregates ZERO rows,
+    which must read as 0 (coalesce) and break after round 1 — a NULL
+    comparing unequal to 0 would silently run all 12 diameter-bound
+    rounds."""
+    rows = [(i, f"totally unique text number {i} " + "x" * i) for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = Q.docs_dup_clusters(spark, str(tmp_path))
+    got = {(r.doc_id, r.cluster_rep) for r in out.collect()}
+    assert got == {(i, i) for i in range(30)}  # everyone isolated
+    assert Q.LAST_CC_STATS["rounds"] == 1, Q.LAST_CC_STATS
