@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_subword_counts": Q.docs_bpe_subword_counts,
         "emb_pq_topk": Q.emb_pq_topk,
         "docs_quality_lm_filter": Q.docs_quality_lm_filter,
+        "docs_shared_ngram_pairs": Q.docs_shared_ngram_pairs,
         "docs_pii_scrub": Q.docs_pii_scrub,
         "docs_dedup_keep_best": Q.docs_dedup_keep_best,
         "detection_nms": FQ.detection_nms_fixture,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_subword_counts": Q.DOCS_BPE_SUBWORD_SQL,
         "emb_pq_topk": Q.EMB_PQ_SQL,
         "docs_quality_lm_filter": Q.DOCS_QUALITY_LM_SQL,
+        "docs_shared_ngram_pairs": Q.DOCS_SHARED_NGRAM_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -2916,6 +2916,96 @@ WHERE sa.sz >= {CONTAIN_MIN_SHINGLES} AND common * {CONTAIN_DEN} >= sa.sz * {CON
 """
 
 
+SHARED_NGRAM_N = 10  # exact-substring evidence width (Lee et al. 2022)
+SHARED_NGRAM_DF_CAP = 20  # grams in more docs are boilerplate, not dups
+
+
+def docs_shared_ngram_pairs(spark, sf_dir):
+    """CROSS-doc exact-substring duplication pairs: doc pairs sharing at
+    least one exact SHARED_NGRAM_N-token n-gram, with the count of
+    distinct shared grams — the deduplicate-training-data signal for
+    verbatim passage reuse that set-level measures miss (two long docs
+    sharing one lifted paragraph have tiny Jaccard AND tiny containment,
+    but ANY shared 10-gram is near-proof of copying). Complements
+    docs_dup_ngram_fraction (within-doc repetition) and
+    docs_containment_pairs (whole-set ratio).
+
+    Scale shape: grams shuffle as 64-bit poly hashes (distinct per doc —
+    the projection is corpus-sized but each row is 16 bytes); the
+    inverted-index self-join is gated to grams in 2..SHARED_NGRAM_DF_CAP
+    docs, so a boilerplate gram shared by a million pages (df beyond the
+    cap) generates ZERO pairs instead of a quadratic bucket — rare grams
+    are the evidence, ubiquitous ones are navigation chrome. The cap is
+    part of the operator's definition (the oracle applies it
+    identically), not a silent truncation."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n = SHARED_NGRAM_N
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks_df.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .select("doc_id", HK.poly_hash_kernel(F.col("gram")).alias("gh"))
+        .distinct()
+        # two consumers (df counts + the pair join): compute the kernel
+        # projection once
+        .localCheckpoint(eager=False)
+    )
+    dfc = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    evid = grams.join(
+        dfc.filter((F.col("df") >= 2) & (F.col("df") <= SHARED_NGRAM_DF_CAP)).select(
+            "gh"
+        ),
+        "gh",
+        "left_semi",
+    )
+    return (
+        evid.alias("a")
+        .join(
+            evid.alias("b"),
+            (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _duck_shared_ngram_sql() -> str:
+    n = SHARED_NGRAM_N
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, {_duck_poly("g")} AS gh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(arr) >= {n}
+      THEN list_transform(generate_series(1, len(arr) - {n - 1}),
+                          i -> array_to_string(arr[i:i+{n - 1}], ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM tok)
+), evid AS (
+  SELECT doc_id, gh FROM grams
+  WHERE gh IN (SELECT gh FROM grams GROUP BY gh
+               HAVING count(*) BETWEEN 2 AND {SHARED_NGRAM_DF_CAP})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM evid a JOIN evid b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+DOCS_SHARED_NGRAM_SQL = _duck_shared_ngram_sql()
+
+
 DUP_GRAM_N = 5  # token-gram width for substring-duplication detection
 
 

@@ -93,6 +93,7 @@ DOC_QUERIES = [
     "docs_bpe_subword_counts",
     "docs_lm_perplexity",
     "docs_quality_lm_filter",
+    "docs_shared_ngram_pairs",
 ]
 EMB_QUERIES = [
     "emb_norms",
