@@ -42,14 +42,39 @@ class SketchStore:
         fp/snapshot=<sid>/      (doc_id, fp)          parquet
         bands/snapshot=<sid>/   (doc_id, band, sig)   parquet
         _commits/<sid>          marker file — visibility point
+        _compacted/<sid>        tombstone — sid folded into a compaction
 
     Both tables write BEFORE the marker lands (atomic rename), so a
     mid-commit crash leaves orphan files that every read ignores:
     readers union only marker-committed snapshot dirs. Committing an
     already-committed sid is an exactly-once no-op, same as
-    SnapshotWriter.commit."""
+    SnapshotWriter.commit. Tombstones keep compacted-away sids
+    recognizable as committed (`is_committed`) so a replayed stream
+    epoch whose sketches were folded into a compacted snapshot still
+    skips instead of re-running against a store that already contains
+    its own rows."""
 
     def __init__(self, spark: SparkSession, root: str):
+        # the directory model below lists/markers via the LOCAL
+        # filesystem; on an hdfs://, s3a://, ... root every listing
+        # would silently come back empty and every batch would verdict
+        # 'new' — a silent dedup loss. Fail loudly instead; a real
+        # cluster deployment routes the store through an object-store
+        # filesystem abstraction (or Iceberg tables, like
+        # plans/checkpoint.SnapshotWriter's catalog leg).
+        if "://" in root:
+            scheme, _, rest = root.partition("://")
+            if scheme != "file":
+                raise ValueError(
+                    f"SketchStore requires a local filesystem root; got scheme "
+                    f"{scheme!r}. Use an Iceberg/object-store-backed store for "
+                    f"non-local roots."
+                )
+            from urllib.parse import unquote
+
+            root = unquote(rest)
+            if not root.startswith("/"):
+                root = "/" + root
         self.spark = spark
         self.root = root
 
@@ -60,6 +85,29 @@ class SketchStore:
         from ..plans.checkpoint import committed_snapshots
 
         return sorted(committed_snapshots(self.root))
+
+    def superseded_snapshots(self) -> list[str]:
+        """Sids folded into a compacted snapshot (tombstoned). Their data
+        and markers are gone but their CONTENT is committed — replay
+        guards must treat them as committed."""
+        from ..plans.checkpoint import _fs_ls
+
+        return sorted(
+            s
+            for s in _fs_ls(os.path.join(self.root, "_compacted"))
+            if not s.endswith(".tmp")
+        )
+
+    def is_committed(self, sid: str) -> bool:
+        """True iff this sid's sketches are visible in the store — either
+        live (marker present) or folded into a compaction (tombstone).
+        The replay guard for stream epochs: a tombstoned epoch must NOT
+        re-run, or it would verdict against a store already containing
+        its own sketches and mark every doc a dup."""
+        return (
+            os.path.exists(os.path.join(self.root, "_commits", sid))
+            or os.path.exists(os.path.join(self.root, "_compacted", sid))
+        )
 
     def _read(self, table: str) -> DataFrame | None:
         paths = [
@@ -86,8 +134,12 @@ class SketchStore:
         from ..plans.checkpoint import next_free_sid
 
         sids = self.committed_snapshots()
-        sid = snapshot_id or next_free_sid(sids)
-        if sid in sids:  # replayed epoch: exactly-once no-op
+        # auto sids must dodge tombstoned sids too: a collision with a
+        # compacted-away sid would read as a replayed epoch below and
+        # silently discard the new batch's sketches
+        taken = sorted(set(sids) | set(self.superseded_snapshots()))
+        sid = snapshot_id or next_free_sid(taken)
+        if sid in taken:  # replayed epoch: exactly-once no-op
             return {"snapshot_id": sid, "replayed": True}
         fp_df.select("doc_id", "fp").write.mode("overwrite").parquet(
             os.path.join(self.root, "fp", f"snapshot={sid}")
@@ -110,21 +162,28 @@ class SketchStore:
         otherwise. Order of operations makes every crash window safe:
 
           1. write the compacted fp/bands dirs under a fresh sid
-          2. drop the new marker (visibility point, atomic rename)
-          3. delete superseded markers, then their data dirs
+          2. tombstone every superseded sid in _compacted/ (so replay
+             guards keep recognizing those epochs as committed — see
+             is_committed; without this, a stream epoch replayed after
+             compaction would re-run against a store that already holds
+             its own sketches and verdict every doc a dup)
+          3. drop the new marker (visibility point, atomic rename)
+          4. delete superseded markers, then their data dirs
 
-        A crash between 2 and 3 leaves old + compacted snapshots BOTH
+        A crash between 3 and 4 leaves old + compacted snapshots BOTH
         visible — duplicated sketch rows, which the verdict semantics
         tolerate by construction (the fp store feeds a left-semi join,
         the band join counts DISTINCT committed doc ids); re-running
-        compact() afterwards converges. At 10^12 docs this is the same
-        maintenance story as Iceberg's rewrite_data_files."""
+        compact() afterwards converges. A crash between 2 and 3 leaves
+        stale tombstones for still-live markers — harmless, is_committed
+        is a union. At 10^12 docs this is the same maintenance story as
+        Iceberg's rewrite_data_files."""
         old = self.committed_snapshots()
         if len(old) <= 1:
             return {"snapshot_id": old[0] if old else None, "compacted": 0}
         from ..plans.checkpoint import next_free_sid
 
-        sid = next_free_sid(old)
+        sid = next_free_sid(sorted(set(old) | set(self.superseded_snapshots())))
         fp = self.committed_fingerprints().distinct()
         bands = self.committed_bands().distinct()
         fp.write.mode("overwrite").parquet(
@@ -133,6 +192,13 @@ class SketchStore:
         bands.write.mode("overwrite").parquet(
             os.path.join(self.root, "bands", f"snapshot={sid}")
         )
+        os.makedirs(os.path.join(self.root, "_compacted"), exist_ok=True)
+        for s in old:
+            stone = os.path.join(self.root, "_compacted", s)
+            tmp = stone + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(sid)  # tombstone records which snapshot absorbed it
+            os.rename(tmp, stone)
         marker = os.path.join(self.root, "_commits", sid)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

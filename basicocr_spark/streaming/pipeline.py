@@ -274,7 +274,11 @@ def streaming_incremental_dedup(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sid = f"{lineage}-epoch{epoch_id:06d}"
-        if sid in store.committed_snapshots():
+        # is_committed (not committed_snapshots) so an epoch whose
+        # sketches were folded into a compacted snapshot (tombstoned)
+        # still skips — re-running it would verdict against a store
+        # already containing its own rows and mark every doc a dup
+        if store.is_committed(sid):
             return  # replayed epoch: verdicts + sketches already visible
         if batch_df.isEmpty():
             return

@@ -226,3 +226,57 @@ def test_compact_merges_snapshots_and_preserves_verdicts(spark, tmp_path):
     assert len(store.committed_snapshots()) == 1
     final, _, _ = incremental_dedup_batch(probe, store)
     assert sorted(tuple(r) for r in final.collect()) == before_rows
+
+
+def test_compact_tombstones_keep_replayed_epochs_committed(spark, tmp_path):
+    """A stream epoch replayed AFTER compact() folded its sketches away
+    must still read as committed (is_committed) and no-op on re-commit —
+    otherwise the replay re-runs against a store already containing its
+    own sketches and verdicts every doc an exact_dup."""
+    store = SketchStore(spark, str(tmp_path / "s"))
+    d = _docs(spark)
+    epoch_sids = []
+    for lo, hi in ((0, 50), (50, 100)):
+        batch = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _, fp, b = incremental_dedup_batch(batch, store)
+        sid = f"lineage-epoch{lo:06d}"
+        store.commit_batch(fp, b, snapshot_id=sid)
+        epoch_sids.append(sid)
+
+    res = store.compact()
+    assert res["compacted"] == 2
+    # markers gone, tombstones present: still committed
+    assert store.committed_snapshots() == [res["snapshot_id"]]
+    assert store.superseded_snapshots() == sorted(epoch_sids)
+    for sid in epoch_sids:
+        assert store.is_committed(sid)
+    assert not store.is_committed("lineage-epoch999999")
+
+    # the replay path: re-committing a tombstoned epoch is a no-op
+    batch0 = d.filter(F.col("doc_id") < 50)
+    v, fp, b = incremental_dedup_batch(batch0, store)
+    again = store.commit_batch(fp, b, snapshot_id=epoch_sids[0])
+    assert again["replayed"] is True
+    assert store.committed_snapshots() == [res["snapshot_id"]]
+
+    # auto-sid allocation must dodge tombstoned sids: committing a fresh
+    # batch gets a brand-new sid, never a superseded one
+    fresh = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    _, fp2, b2 = incremental_dedup_batch(fresh, store)
+    res3 = store.commit_batch(fp2, b2)
+    assert res3["replayed"] is False
+    assert res3["snapshot_id"] not in epoch_sids
+
+
+def test_sketchstore_rejects_non_local_root(spark, tmp_path):
+    """A misconfigured non-local root must fail loudly, not silently
+    verdict every batch 'new' (listings over os.listdir would come back
+    empty on hdfs:// / s3a:// roots)."""
+    import pytest
+
+    for bad in ("hdfs://nn/warehouse/sketches", "s3a://bucket/sketches"):
+        with pytest.raises(ValueError, match="local filesystem root"):
+            SketchStore(spark, bad)
+    # file:// URIs are local: accepted and unquoted
+    st = SketchStore(spark, f"file://{tmp_path}/with%20space")
+    assert st.root == f"{tmp_path}/with space"
