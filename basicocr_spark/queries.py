@@ -14,6 +14,7 @@ compare hashes values under sorted column names.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,12 +38,17 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a production multi-row-group table already splits and gets NO
     shuffle; only a scan narrower than half the cluster pays the tiny
     re-spread that stands in for scan parallelism here."""
+    from urllib.parse import unquote
+
     df = _t(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
     try:
+        # inputFiles() returns file: URIs with percent-encoding — unquote
+        # before statting or a path with %20 raises and falls into the
+        # assume-big branch
         total = sum(
-            os.path.getsize(f.removeprefix("file:")) for f in files
+            os.path.getsize(unquote(f.removeprefix("file:"))) for f in files
         )
     except OSError:
         # non-local URIs (hdfs://, s3://) aren't os.path-statable: assume
@@ -50,11 +56,14 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # itself, and mis-assuming small would re-shuffle the whole table
         # (the exact pure-cost case this gate exists to avoid)
         return df
-    # a scan splits into ~one task per maxPartitionBytes (128 MB
-    # default) per file: enough files or enough bytes means production
-    # scan parallelism is already there and the shuffle would be pure
-    # cost
-    if len(files) >= max(par // 2, 2) or total >= 64 * 1024 * 1024:
+    # a scan splits into ~one task per maxPartitionBytes per file; gate
+    # on the session's ACTUAL split size (a hardcoded threshold below it
+    # would assume parallelism a 64-127 MiB single file doesn't have)
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+    max_split = int(m.group(1)) * units.get(m.group(2), 1) if m else 128 * 1024 * 1024
+    if len(files) >= max(par // 2, 2) or total >= max_split:
         return df
     return df.repartition(par)
 
@@ -3937,6 +3946,11 @@ def emb_pq_topk(spark, sf_dir):
         .groupBy("q_id", "vec_id")
         .agg(F.round(F.sum("qd"), 6).alias("adc"))
     )
+    # pre-reduce each partition to its local top-2 per probe BEFORE the
+    # rank window (same discipline as emb_cosine_topk): without it each
+    # probe's window partition is corpus-sized — the exact straggler
+    # wall the catalog-wide plan audit exists to prevent
+    adc = _local_topk(adc, 2, ["q_id"], ["adc", "vec_id"], [True, True])
     w_q = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
     return (
         adc.withColumn("rk", F.row_number().over(w_q))

@@ -334,3 +334,22 @@ def test_pq_codes_join_broadcasts_the_codebook(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     # ranking windows are all partitioned (vec_id,m / q_id) — no empty
     # partition spec (also enforced catalog-wide)
+
+
+def test_pq_final_rank_window_is_prereduced(spark):
+    """emb_pq_topk's per-probe top-k window must consume a _local_topk
+    pre-reduction (MapInPandas below the Window), not the full ADC
+    table: each probe's window partition would otherwise be
+    corpus-sized — same discipline as emb_cosine_topk."""
+    df = Q.emb_pq_topk(spark, SF)
+    root = df._jdf.queryExecution().optimizedPlan()
+    windows = [
+        n
+        for n in _walk_logical(root)
+        if n.getClass().getSimpleName() == "Window"
+        and "q_id" in n.partitionSpec().apply(0).toString()
+    ]
+    assert windows, "per-probe rank window missing"
+    assert all(_is_reduced_subtree(w) for w in windows), (
+        "q_id rank window consumes an unreduced corpus-sized input"
+    )
