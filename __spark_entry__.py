@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_token_kmv_distinct is the single entry with zero driver
         # rows across rounds 1-3 — first in line this round. Round-4
         # additions (BPE trainer, LM perplexity) follow it.
+        # round-5 additions lead the dict so the driver's rotating 50-row
+        # snapshot records them first
+        "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -234,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": Q.EMB_PQ_SQL,
         "docs_quality_lm_filter": Q.DOCS_QUALITY_LM_SQL,
         "docs_shared_ngram_pairs": Q.DOCS_SHARED_NGRAM_SQL,
+        "docs_benchmark_contamination": Q.DOCS_CONTAMINATION_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -2929,6 +2929,122 @@ SHARED_NGRAM_N = 10  # exact-substring evidence width (Lee et al. 2022)
 SHARED_NGRAM_DF_CAP = 20  # grams in more docs are boilerplate, not dups
 
 
+def _gram_hashes(toks_df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gh): distinct 64-bit poly hashes of the n-token grams of
+    a (doc_id, toks) table. Grams shuffle as hashes, never strings — an
+    n-word gram is ~6n bytes, the hash is 8."""
+    toks = F.col("toks")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks_df.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .select("doc_id", HK.poly_hash_kernel(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+
+
+CONTAM_NGRAM_N = 13  # GPT-3 appendix-C decontamination gram width
+CONTAM_BENCH_MOD = 7  # deterministic stand-in eval slice: doc_id % 7 == 1
+CONTAM_BENCH_REM = 1
+CONTAM_BENCH_DF_CAP = 10  # grams in >10 bench docs are chrome, not evidence
+
+
+def benchmark_contamination(
+    corpus_toks: DataFrame,
+    bench_toks: DataFrame,
+    n: int = CONTAM_NGRAM_N,
+    bench_df_cap: int = CONTAM_BENCH_DF_CAP,
+) -> DataFrame:
+    """Benchmark-decontamination flags: corpus docs sharing any exact
+    n-token gram with the benchmark/eval table — the pre-training-gate
+    step every training-data pipeline runs so eval answers don't leak
+    into the corpus (GPT-3 appendix C; Lee et al. 2022). Inputs are
+    (doc_id, toks) tables; output one row per CONTAMINATED corpus doc:
+    (doc_id, n_contam_grams = distinct matched grams, n_bench_docs =
+    distinct benchmark docs implicated).
+
+    Scale shape: this is the ONE-SIDED docs_shared_ngram_pairs — the
+    benchmark gram table is eval-suite-sized (thousands of docs, not
+    10^12), so it BROADCASTS and the corpus-sized gram projection joins
+    map-side with zero shuffle of the corpus; the only wide op is the
+    per-doc count agg, map-side combinable. Grams occurring in more than
+    bench_df_cap benchmark docs are dropped on the (tiny) benchmark side
+    before the broadcast — shared navigation chrome across eval files
+    must not flag half the web."""
+    bg = _gram_hashes(bench_toks, n).localCheckpoint(eager=False)  # 2 consumers
+    bg_ok = bg.join(
+        bg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= bench_df_cap)
+        .select("gh"),
+        "gh",
+        "left_semi",
+    ).select(F.col("doc_id").alias("bench_id"), "gh")
+    cg = _gram_hashes(corpus_toks, n)
+    return (
+        cg.join(F.broadcast(bg_ok), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_contam_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def docs_benchmark_contamination(spark, sf_dir):
+    """Catalog entry: the deterministic doc_id % CONTAM_BENCH_MOD ==
+    CONTAM_BENCH_REM slice stands in for the external benchmark table
+    (in production it's a broadcast eval-suite table); every other doc
+    is corpus. See benchmark_contamination for semantics + scale shape."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    return benchmark_contamination(
+        toks_df.filter(~is_bench), toks_df.filter(is_bench)
+    )
+
+
+def _duck_contamination_sql() -> str:
+    n = CONTAM_NGRAM_N
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, {_duck_poly("g")} AS gh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(arr) >= {n}
+      THEN list_transform(generate_series(1, len(arr) - {n - 1}),
+                          i -> array_to_string(arr[i:i+{n - 1}], ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM tok)
+), bg AS (
+  SELECT doc_id AS bench_id, gh FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}
+), bg_ok AS (
+  SELECT bench_id, gh FROM bg
+  WHERE gh IN (SELECT gh FROM bg GROUP BY gh
+               HAVING count(*) <= {CONTAM_BENCH_DF_CAP})
+), cg AS (
+  SELECT doc_id, gh FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+)
+SELECT c.doc_id,
+       count(DISTINCT c.gh) AS n_contam_grams,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM cg c JOIN bg_ok b USING (gh)
+GROUP BY 1
+"""
+
+
+DOCS_CONTAMINATION_SQL = _duck_contamination_sql()
+
+
 def docs_shared_ngram_pairs(spark, sf_dir):
     """CROSS-doc exact-substring duplication pairs: doc pairs sharing at
     least one exact SHARED_NGRAM_N-token n-gram, with the count of
@@ -2949,23 +3065,9 @@ def docs_shared_ngram_pairs(spark, sf_dir):
     identically), not a silent truncation."""
     d = _t_wide(spark, sf_dir, "documents")
     toks_df = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    n = SHARED_NGRAM_N
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        toks_df.select("doc_id", F.explode(gram_arr).alias("gram"))
-        .select("doc_id", HK.poly_hash_kernel(F.col("gram")).alias("gh"))
-        .distinct()
-        # two consumers (df counts + the pair join): compute the kernel
-        # projection once
-        .localCheckpoint(eager=False)
-    )
+    # two consumers (df counts + the pair join): compute the kernel
+    # projection once
+    grams = _gram_hashes(toks_df, SHARED_NGRAM_N).localCheckpoint(eager=False)
     dfc = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     evid = grams.join(
         dfc.filter((F.col("df") >= 2) & (F.col("df") <= SHARED_NGRAM_DF_CAP)).select(

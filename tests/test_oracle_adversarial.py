@@ -94,6 +94,7 @@ DOC_QUERIES = [
     "docs_lm_perplexity",
     "docs_quality_lm_filter",
     "docs_shared_ngram_pairs",
+    "docs_benchmark_contamination",
 ]
 EMB_QUERIES = [
     "emb_norms",
