@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3295,7 +3296,50 @@ def _bpe_apply_merge(syms, a: str, b: str):
     )
 
 
+# Session-scoped memo for shared subgraphs: several catalog entries
+# consume the SAME expensive trained state (the BPE vocab feeds both
+# docs_bpe_merges and docs_bpe_subword_counts; the LM perplexity table
+# feeds both docs_lm_perplexity and docs_quality_lm_filter). Without the
+# memo a full catalog sweep trains each model twice — duplicated work the
+# round-4 review measured at ~13s of a 56s bench. Keyed weakly by the
+# SparkSession (entries die with the session; a new session never sees a
+# stale DataFrame) and by absolute sf_dir. At 10^12 docs the equivalent
+# is writing the trained state to a table once per pipeline run — this
+# memo is the single-process form of that discipline.
+_SWEEP_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+SWEEP_BUILD_COUNTS: dict[str, int] = {}  # observability for tests
+
+
+def _sweep_memo(spark: SparkSession, sf_dir: str, key: str, builder):
+    per = _SWEEP_CACHE.setdefault(spark, {})
+    k = (os.path.abspath(sf_dir), key)
+    if k not in per:
+        per[k] = builder()
+        SWEEP_BUILD_COUNTS[key] = SWEEP_BUILD_COUNTS.get(key, 0) + 1
+    return per[k]
+
+
+def clear_sweep_cache(spark: SparkSession | None = None) -> None:
+    """Drop memoized shared subgraphs (one session, or all). For tests
+    that pin per-run job counts, and for callers that mutated the data
+    under an sf_dir path in-place."""
+    if spark is None:
+        _SWEEP_CACHE.clear()
+    else:
+        _SWEEP_CACHE.pop(spark, None)
+
+
 def _bpe_train(spark, sf_dir) -> tuple[list[tuple], DataFrame]:
+    """Memoized per (session, sf_dir): the trainer runs once per sweep
+    even though two catalog entries consume it. See _bpe_train_impl."""
+    return _sweep_memo(
+        spark, sf_dir, "bpe_train", lambda: _bpe_train_impl(spark, sf_dir)
+    )
+
+
+def _bpe_train_impl(spark, sf_dir) -> tuple[list[tuple], DataFrame]:
     """The full BPE TRAINER loop (Sennrich et al. 2016) — count adjacent
     symbol pairs, merge the argmax pair, recount — for N_BPE_MERGES
     rounds. Returns (merges, final_vocab): the learned merge table rows
@@ -3491,6 +3535,23 @@ DOCS_BPE_SUBWORD_SQL = _duck_bpe_subword_sql()
 
 
 def docs_lm_perplexity(spark, sf_dir):
+    """Memoized per (session, sf_dir) and lazily checkpointed: the model
+    estimation + scoring runs once per sweep even though two catalog
+    entries (this one and docs_quality_lm_filter) consume it — the
+    single-process form of writing the scored table once per pipeline
+    run. See _lm_perplexity_impl for semantics and scale shape."""
+    return _sweep_memo(
+        spark,
+        sf_dir,
+        "lm_perplexity",
+        # materialized on the FIRST consumer's action, re-read by the
+        # second (memory-and-disk blocks; at 10^12 docs this per-doc
+        # table persists to a real table instead)
+        lambda: _lm_perplexity_impl(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _lm_perplexity_impl(spark, sf_dir):
     """n-gram LM estimation + per-doc perplexity scoring — the workflow
     the reference describes past raw counts (docs/yangzhanku/n-gram/
     language-model.md:166-193: count -> merge -> conditional-probability

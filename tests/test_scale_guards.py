@@ -368,6 +368,7 @@ def test_bpe_loop_runs_one_job_per_round(spark):
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    Q.clear_sweep_cache(spark)  # force a real training run to count
     try:
         before = set(
             spark.sparkContext.statusTracker().getJobIdsForGroup(Q._BPE_JOB_GROUP)
@@ -384,6 +385,34 @@ def test_bpe_loop_runs_one_job_per_round(spark):
         f"{len(after - before)} loop jobs for {rounds} rounds — extra "
         "blocking actions crept into the BPE round"
     )
+
+
+def test_shared_subgraphs_train_once_per_sweep(spark):
+    """The BPE vocab and the LM perplexity table each feed TWO catalog
+    entries; a sweep must train each exactly once (round-4 review: the
+    double runs cost ~13s of a 56s bench). Pinned two ways: the build
+    counter, and the BPE job group gaining zero jobs on the second
+    consumer."""
+    sf = "/root/testdata/sf0.001"
+    Q.clear_sweep_cache(spark)
+    tracker = spark.sparkContext.statusTracker()
+
+    b0 = Q.SWEEP_BUILD_COUNTS.get("bpe_train", 0)
+    Q.docs_bpe_merges(spark, sf).collect()
+    jobs_after_first = set(tracker.getJobIdsForGroup(Q._BPE_JOB_GROUP))
+    Q.docs_bpe_subword_counts(spark, sf).collect()
+    jobs_after_second = set(tracker.getJobIdsForGroup(Q._BPE_JOB_GROUP))
+    assert Q.SWEEP_BUILD_COUNTS["bpe_train"] == b0 + 1
+    assert jobs_after_second == jobs_after_first, "second entry re-trained BPE"
+
+    l0 = Q.SWEEP_BUILD_COUNTS.get("lm_perplexity", 0)
+    ppl_rows = sorted(tuple(r) for r in Q.docs_lm_perplexity(spark, sf).collect())
+    Q.docs_quality_lm_filter(spark, sf).collect()
+    assert Q.SWEEP_BUILD_COUNTS["lm_perplexity"] == l0 + 1
+    # memoized result is stable across consumers
+    again = sorted(tuple(r) for r in Q.docs_lm_perplexity(spark, sf).collect())
+    assert again == ppl_rows
+    assert Q.SWEEP_BUILD_COUNTS["lm_perplexity"] == l0 + 1
 
 
 def test_cc_loop_converges_round_one_on_dupfree_corpus(spark, tmp_path):
