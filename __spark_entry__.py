@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions lead the dict so the driver's rotating 50-row
         # snapshot records them first
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
+        "media_phash_near_dup": FQ.media_phash_near_dup_fixture,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_lm_filter": Q.DOCS_QUALITY_LM_SQL,
         "docs_shared_ngram_pairs": Q.DOCS_SHARED_NGRAM_SQL,
         "docs_benchmark_contamination": Q.DOCS_CONTAMINATION_SQL,
+        "media_phash_near_dup": FQ.media_phash_near_dup_oracle_sql(),
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

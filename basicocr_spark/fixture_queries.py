@@ -591,3 +591,78 @@ def video_frame_sample_oracle_sql() -> str:
             frame_len = len(encode_fake_image(f"{ref}#{idx}", 48, 32))
             rows.append((ref, idx, frame_len))
     return _values_sql(rows, ["media_ref", "frame_idx", "frame_bytes"])
+
+
+MEDIA_PHASH_HAM_MAX = 6  # < 8 byte-bands: pigeonhole keeps the ball exact
+
+
+def media_phash_near_dup_fixture(spark, sf_dir):
+    """Perceptual image dedup over the media column: dHash each decoded
+    blob (operators/multimodal.media_dhash), then banded hamming-ball
+    pairs via the SAME engine as the text simhash near-dup
+    (queries.hamming_ball_pairs — 8 byte bands over the 64-bit hash,
+    exact for the <=6 ball, DISTINCT-value clone collapse). Fixture
+    plants byte-exact clones (hamming 0), lightly perturbed re-encodes
+    (small hamming), distinct images (unpaired), and a corrupt blob
+    (skipped). Oracle: pure-Python dHash + brute-force hamming over the
+    same deterministic fixture."""
+    from . import queries as Q
+    from .operators.multimodal import build_phash_blob_table, media_dhash
+
+    blobs = build_phash_blob_table(spark)
+    hashes = media_dhash(blobs).localCheckpoint()
+    return Q.hamming_ball_pairs(
+        hashes, "phash", "media_ref", 8, MEDIA_PHASH_HAM_MAX, "ref_a", "ref_b"
+    )
+
+
+def _reference_dhash(buf: bytes, grid: int = 8) -> int | None:
+    """Independent pure-Python dHash twin of media_dhash's numpy kernel
+    (scalar loops, no numpy) — the oracle side of the cross-check."""
+    from .operators.multimodal import decode_fake_image
+
+    d = decode_fake_image(buf)
+    if d is None:
+        return None
+    w, h, payload = d
+    hv = 0
+    for y in range(grid):
+        sy = y * h // grid
+        row = [payload[sy * w + (x * w // (grid + 1))] for x in range(grid + 1)]
+        for x in range(grid):
+            hv = (hv << 1) | (1 if row[x] > row[x + 1] else 0)
+    if hv >= 1 << 63:
+        hv -= 1 << 64
+    return hv
+
+
+def _phash_fixture_reference_pairs() -> list[tuple]:
+    """Brute-force reference: dHash every fixture blob, emit all ordered
+    pairs with hamming <= MEDIA_PHASH_HAM_MAX."""
+    from .operators.multimodal import encode_fake_image, perturb_fake_image
+
+    blobs = []
+    for i in range(12):
+        ref = f"img{i:04d}-{chr(97 + i)}{i * i + 7}"
+        w = 96 + 8 * (i % 5)
+        buf = encode_fake_image(ref, w, 32)
+        blobs.append((ref, buf))
+        if i % 3 == 0:
+            blobs.append((f"{ref}_near", perturb_fake_image(buf, (4, 5))))
+        if i % 4 == 0:
+            blobs.append((f"{ref}_clone", buf))
+    hashes = [(ref, _reference_dhash(buf)) for ref, buf in blobs]
+    rows = []
+    for i, (ra, ha) in enumerate(hashes):
+        for rb, hb in hashes[i + 1 :]:
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= MEDIA_PHASH_HAM_MAX:
+                lo, hi = sorted((ra, rb))
+                rows.append((lo, hi, ham))
+    return sorted(rows)
+
+
+def media_phash_near_dup_oracle_sql() -> str:
+    return _values_sql(
+        _phash_fixture_reference_pairs(), ["ref_a", "ref_b", "hamming"]
+    )

@@ -243,6 +243,95 @@ def media_batches_dynamic_width(
     )
 
 
+def media_dhash(blobs: DataFrame, decoder=None, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per media blob: decode
+    (pluggable, resolve_decoder) -> grayscale 'resize' to
+    (grid+1) x grid by nearest-neighbor index arithmetic (the same
+    sampling as media_features) -> one bit per adjacent-column gradient,
+    y-major MSB-first -> a 64-bit signature (grid=8). Near-identical
+    images (re-encodes, small edits, noise) land within a small hamming
+    ball of each other — the standard perceptual-dedup signature for
+    image corpora (dHash; same family as aHash/pHash). Emitted as a
+    SIGNED long (two's-complement wrap) so banding/xor stay native JVM
+    column ops downstream. Undecodable blobs emit nothing (P1/P2 skip).
+    Arrow-batched; zero per-row Python at the Spark layer.
+
+    Reference analog: the decode->grayscale->resize chain of
+    dataset.py:69-80 — repurposed from recognition preprocessing into a
+    corpus-dedup signature."""
+    decoder = resolve_decoder(decoder)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            refs, hashes = [], []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                d = decoder(bytes(buf) if buf is not None else None)
+                if d is None:
+                    continue
+                w, h, payload = d
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                yi = (np.arange(grid) * h // grid)[:, None]
+                xi = (np.arange(grid + 1) * w // (grid + 1))[None, :]
+                small = img[yi, xi]
+                bits = (small[:, :-1] > small[:, 1:]).flatten()
+                hv = 0
+                for bit in bits:
+                    hv = (hv << 1) | int(bit)
+                if hv >= 1 << 63:  # two's-complement wrap to signed long
+                    hv -= 1 << 64
+                refs.append(ref)
+                hashes.append(hv)
+            yield pd.DataFrame({"media_ref": refs, "phash": pd.array(hashes, dtype="int64")})
+
+    return blobs.mapInPandas(kernel, "media_ref string, phash long")
+
+
+def perturb_fake_image(
+    buf: bytes, rows: tuple[int, ...], frac: float = 0.5
+) -> bytes:
+    """Near-dup fixture helper: invert the left `frac` of the given pixel
+    ROWS of a fake image and re-encode — a deterministic stand-in for the
+    re-encode/small-edit variants perceptual dedup must catch. Inversion
+    (255 - v) reverses gradient comparisons in the touched region, so the
+    dHash provably flips SOME bits (a uniform brightness shift would
+    preserve ordering and hash identically), while untouched rows keep
+    the pair inside a small hamming ball."""
+    d = decode_fake_image(buf)
+    if d is None:
+        raise ValueError("cannot perturb an invalid fake image")
+    w, h, payload = d
+    arr = bytearray(payload)
+    for r in rows:
+        for x in range(int(w * frac)):
+            arr[r * w + x] = 255 - arr[r * w + x]
+    return _MAGIC + struct.pack("<II", w, h) + zlib.compress(bytes(arr), 1)
+
+
+def build_phash_blob_table(spark, n_base: int = 12) -> DataFrame:
+    """Deterministic perceptual-dedup fixture: n_base distinct images,
+    plus for every 3rd base a near-dup variant (2 pixel rows brightened)
+    and for every 4th an exact byte clone under a new ref, plus one
+    corrupt blob (skip path). Planted structure the phash near-dup
+    operator must recover: clone pairs at hamming 0, perturbed pairs in
+    a small ball, distinct bases unpaired."""
+    rows = []
+    for i in range(n_base):
+        ref = f"img{i:04d}-{chr(97 + i)}{i * i + 7}"
+        w, h = 96 + 8 * (i % 5), 32
+        buf = encode_fake_image(ref, w, h)
+        rows.append((ref, buf, "image/x-bocr", w, h))
+        if i % 3 == 0:
+            rows.append(
+                (f"{ref}_near", perturb_fake_image(buf, (4, 5)), "image/x-bocr", w, h)
+            )
+        if i % 4 == 0:
+            rows.append((f"{ref}_clone", buf, "image/x-bocr", w, h))
+    rows.append(("imgbad", b"\x00garbage", "image/x-bocr", None, None))
+    return spark.createDataFrame(rows, schema=MEDIA_BLOB)
+
+
 _VMAGIC = b"BOCV"
 
 

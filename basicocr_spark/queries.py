@@ -1391,68 +1391,87 @@ SELECT doc_id, {" + ".join(bits)} AS simhash FROM whs
 """
 
 
-def docs_simhash_near_dup(spark, sf_dir):
-    """SimHash hamming-ball near-dup pairs — completes the simhash
-    story (docs_simhash only computes the hashes): band the 32-bit
-    simhash into 4 bytes; by pigeonhole any pair within hamming
-    distance 3 shares at least one intact byte, so the byte-band bucket
-    equi-join is an EXACT candidate generator for the <=3 ball; verify
-    bit_count(xor) <= 3 on candidates only. Same shuffle shape as the
-    minhash LSH (one bucket join); byte bands are coarse 1/256
-    partitions by design, so like the hyperplane buckets they pass
-    cap=None."""
-    d = _t_wide(spark, sf_dir, "documents")
-    sims = HK.simhash_df(d).localCheckpoint()
-    # clone-class collapse: the band self-join runs over DISTINCT
-    # simhash VALUES, so a flood of identical documents is one row in
-    # the join (the unguarded doc-level join would put the whole flood
-    # in one bucket in all 4 bands — the O(n^2) single-reducer case
-    # LSH_BUCKET_CAP exists for, which can't be star-capped here
-    # because byte bands hold many DIFFERENT hashes whose real <=3
-    # pairs a star would drop). Member-pair expansion below is
-    # output-sized — unavoidable for a pair-list result; a production
-    # flood consumes the cluster table (docs_dup_clusters) instead.
-    classes = sims.select("simhash").distinct().localCheckpoint()
+def hamming_ball_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    n_bands: int,
+    ham_max: int,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """Banded hamming-ball near-dup pairs over an (id, hash) table —
+    shared engine of docs_simhash_near_dup (32-bit text simhash) and
+    media_phash_near_dup (64-bit perceptual image dHash). Band the hash
+    into n_bands bytes; by pigeonhole any pair within hamming distance
+    n_bands - 1 shares at least one intact byte, so the byte-band bucket
+    equi-join is an EXACT candidate generator for the <= ham_max ball
+    (requires ham_max < n_bands); verify bit_count(xor) on candidates
+    only.
+
+    Clone-class collapse: the band self-join runs over DISTINCT hash
+    VALUES, so a flood of identical items is one row in the join (the
+    unguarded id-level join would put the whole flood in one bucket in
+    every band — the O(n^2) single-reducer case LSH_BUCKET_CAP exists
+    for, which can't be star-capped here because byte bands hold many
+    DIFFERENT hashes whose real <= ham_max pairs a star would drop).
+    Member-pair expansion is output-sized — unavoidable for a pair-list
+    result; a production flood consumes the cluster table instead. Byte
+    bands are coarse 1/256 partitions by design, so like the hyperplane
+    buckets they pass cap=None. Caller passes a (local)checkpointed
+    `hashes` — it is consumed three times."""
+    assert ham_max < n_bands, "pigeonhole guarantee needs ham_max < n_bands"
+    classes = hashes.select(hash_col).distinct().localCheckpoint()
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("sig"),
+                F.shiftright(F.col(hash_col), 8 * b).bitwiseAND(F.lit(255)).alias("sig"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
-    banded = classes.select("simhash", F.explode(bands).alias("bb")).select(
-        "simhash", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    banded = classes.select(hash_col, F.explode(bands).alias("bb")).select(
+        hash_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
     )
-    hpairs = _bucket_pair_join(banded, "simhash", "sh_a", "sh_b").withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    ).filter(F.col("hamming") <= 3)
-    a = sims.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
-    b = sims.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    hpairs = _bucket_pair_join(banded, hash_col, "h_a", "h_b").withColumn(
+        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    ).filter(F.col("hamming") <= ham_max)
+    a = hashes.select(F.col(hash_col).alias("h_a"), F.col(id_col).alias("ia"))
+    b = hashes.select(F.col(hash_col).alias("h_b"), F.col(id_col).alias("ib"))
     inter = (
-        hpairs.join(a, "sh_a")
-        .join(b, "sh_b")
+        hpairs.join(a, "h_a")
+        .join(b, "h_b")
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.least("ia", "ib").alias(out_a),
+            F.greatest("ia", "ib").alias(out_b),
             "hamming",
         )
     )
     intra = (
-        sims.alias("x")
+        hashes.alias("x")
         .join(
-            sims.alias("y"),
-            (F.col("x.simhash") == F.col("y.simhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            hashes.alias("y"),
+            (F.col(f"x.{hash_col}") == F.col(f"y.{hash_col}"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col(f"x.{id_col}").alias(out_a),
+            F.col(f"y.{id_col}").alias(out_b),
             F.lit(0).cast("long").alias("hamming"),
         )
     )
     return inter.unionByName(intra)
+
+
+def docs_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-ball near-dup pairs — completes the simhash
+    story (docs_simhash only computes the hashes): 32-bit simhash into
+    4 byte bands, exact for the <=3 ball (see hamming_ball_pairs). Same
+    shuffle shape as the minhash LSH (one bucket join)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sims = HK.simhash_df(d).localCheckpoint()
+    return hamming_ball_pairs(sims, "simhash", "doc_id", 4, 3, "doc_a", "doc_b")
 
 
 def _duck_simhash_near_dup_sql() -> str:
