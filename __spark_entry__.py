@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot records them first
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "media_phash_near_dup": FQ.media_phash_near_dup_fixture,
+        "emb_ivfpq_topk": Q.emb_ivfpq_topk,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_shared_ngram_pairs": Q.DOCS_SHARED_NGRAM_SQL,
         "docs_benchmark_contamination": Q.DOCS_CONTAMINATION_SQL,
         "media_phash_near_dup": FQ.media_phash_near_dup_oracle_sql(),
+        "emb_ivfpq_topk": Q.EMB_IVFPQ_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -2232,10 +2232,13 @@ def emb_ivf_multiprobe(spark, sf_dir):
     return _ivf_topk_impl(spark, sf_dir, nprobe=2)
 
 
-def _ivf_topk_impl(spark, sf_dir, nprobe: int):
-    e = _t(spark, sf_dir, "embeddings")
-    # coarse-quantizer build rides the same partial-sum kernel as
-    # emb_label_centroids (no n x d explode before the shuffle)
+def _ivf_assign(e: DataFrame, nprobe: int) -> DataFrame:
+    """Coarse-quantizer routing shared by the IVF and IVF-PQ queries:
+    build per-label centroids from kernel partials (no n x d explode
+    before the shuffle), then assign each probe (vec_id < 30) to its
+    top-nprobe cells by rounded cosine (cell-asc tie-break). Returns
+    (q_id, q_emb, cell); the centroid table broadcasts — assignment is
+    an argmin over ~k cells, never a corpus shuffle."""
     flat = _centroid_per_dim(e)
     cents = flat.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
@@ -2246,7 +2249,6 @@ def _ivf_topk_impl(spark, sf_dir, nprobe: int):
     probes = e.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # assign each probe to its max-cosine cell (broadcast centroids)
     assigned_scores = probes.crossJoin(F.broadcast(cents)).select(
         "q_id",
         "q_emb",
@@ -2254,11 +2256,16 @@ def _ivf_topk_impl(spark, sf_dir, nprobe: int):
         V.cosine_rounded_fast(F.col("q_emb"), F.col("centroid"), 6).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("q_id").orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
-    assigned = (
+    return (
         assigned_scores.withColumn("rk", F.row_number().over(w_cell))
         .filter(F.col("rk") <= nprobe)
         .select("q_id", "q_emb", "cell")
     )
+
+
+def _ivf_topk_impl(spark, sf_dir, nprobe: int):
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = _ivf_assign(e, nprobe)
     cand = e.join(
         F.broadcast(assigned),
         (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")),
@@ -4065,63 +4072,9 @@ def emb_pq_topk(spark, sf_dir):
     per-query ranking is a bounded partitioned window. Cross-engine
     determinism: centroids, per-code distances, and ADC sums all round
     at 6dp with index-order folds, ties break on (k), (vec_id)."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    subs = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.slice("embedding", m * F.lit(PQ_SUBDIM) + 1, PQ_SUBDIM),
-            )
-        ).alias("m", "sub"),
-    ).localCheckpoint(eager=False)  # consumed by build, encode, and probes
-    # codebook: LSH-bucket init -> per-bucket mean via the kernel partials
-    gsubs = subs.select(
-        (F.col("m") * F.lit(100) + V.hyperplane_sign_bucket(F.col("sub"), PQ_PLANES))
-        .cast("long")
-        .alias("gk"),
-        F.col("sub").alias("embedding"),
-    )
-    partials = V.group_vector_sums_df(gsubs, "gk", "embedding")
-    flat = partials.select(
-        "gk", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
-    )
-    cents_flat = flat.groupBy("gk", "dim").agg(
-        (F.sum(F.col("sc.sums")) / F.sum(F.col("sc.counts"))).alias("c")
-    )
-    codebook = (
-        cents_flat.groupBy("gk")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-        .select(
-            (F.col("gk") / 100).cast("int").alias("m"),
-            (F.col("gk") % 100).cast("int").alias("k"),
-            F.transform("dc", lambda x: F.round(x["c"], 6)).alias("cent"),
-        )
-    )
-    # encode: argmin rounded squared-L2 over the subspace's centroids
-    scored_codes = subs.join(F.broadcast(codebook), "m").select(
-        "vec_id",
-        "m",
-        "k",
-        F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
-    )
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("dist").asc(), F.col("k").asc()
-    )
-    codes = (
-        scored_codes.withColumn("rk", F.row_number().over(w_code))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "k")
-    )
-    # per-query distance table, broadcast against the codes scan
-    dtab = (
-        subs.filter(F.col("vec_id") < 30)
-        .select(F.col("vec_id").alias("q_id"), "m", F.col("sub").alias("qsub"))
-        .join(F.broadcast(codebook), "m")
-        .select(
-            "q_id", "m", "k", F.round(_pq_sq_l2(F.col("qsub"), F.col("cent")), 6).alias("qd")
-        )
-    )
+    idx = _pq_index(spark, sf_dir)
+    subs, codebook, codes = idx["subs"], idx["codebook"], idx["codes"]
+    dtab = _pq_dtab(subs, codebook)
     adc = (
         codes.join(F.broadcast(dtab), ["m", "k"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -4138,6 +4091,128 @@ def emb_pq_topk(spark, sf_dir):
         adc.withColumn("rk", F.row_number().over(w_q))
         .filter(F.col("rk") <= 2)
         .select("q_id", "vec_id", "adc", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _pq_index(spark, sf_dir) -> dict:
+    """Memoized PQ index build shared by emb_pq_topk and emb_ivfpq_topk
+    (the codebook and codes are THE index — training twice per sweep
+    would be the BPE double-run mistake again). Returns
+    {"subs", "codebook", "codes"}; subs and codes carry the vector's
+    coarse cell (= label, the same stand-in cells the IVF queries use)
+    so codes form per-cell posting lists — the physical layout a real
+    IVF-PQ index partitions by."""
+
+    def build():
+        e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+        subs = e.select(
+            "vec_id",
+            F.col("label").alias("cell"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: F.slice("embedding", m * F.lit(PQ_SUBDIM) + 1, PQ_SUBDIM),
+                )
+            ).alias("m", "sub"),
+        ).localCheckpoint(eager=False)  # consumed by build, encode, probes
+        # codebook: LSH-bucket init -> per-bucket mean via kernel partials
+        gsubs = subs.select(
+            (F.col("m") * F.lit(100) + V.hyperplane_sign_bucket(F.col("sub"), PQ_PLANES))
+            .cast("long")
+            .alias("gk"),
+            F.col("sub").alias("embedding"),
+        )
+        partials = V.group_vector_sums_df(gsubs, "gk", "embedding")
+        flat = partials.select(
+            "gk", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
+        )
+        cents_flat = flat.groupBy("gk", "dim").agg(
+            (F.sum(F.col("sc.sums")) / F.sum(F.col("sc.counts"))).alias("c")
+        )
+        codebook = (
+            cents_flat.groupBy("gk")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select(
+                (F.col("gk") / 100).cast("int").alias("m"),
+                (F.col("gk") % 100).cast("int").alias("k"),
+                F.transform("dc", lambda x: F.round(x["c"], 6)).alias("cent"),
+            )
+            .localCheckpoint(eager=False)  # consumed by encode + every dtab
+        )
+        # encode: argmin rounded squared-L2 over the subspace's centroids
+        scored_codes = subs.join(F.broadcast(codebook), "m").select(
+            "vec_id",
+            "cell",
+            "m",
+            "k",
+            F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
+        )
+        w_code = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("dist").asc(), F.col("k").asc()
+        )
+        codes = (
+            scored_codes.withColumn("rk", F.row_number().over(w_code))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell", "m", "k")
+            .localCheckpoint(eager=False)  # the corpus-compressed index
+        )
+        return {"subs": subs, "codebook": codebook, "codes": codes}
+
+    return _sweep_memo(spark, sf_dir, "pq_index", build)
+
+
+def _pq_dtab(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-query ADC distance table: (q_id, m, k, qd) for probes
+    vec_id < 30 — queries x M x K rows, always broadcast-sized."""
+    return (
+        subs.filter(F.col("vec_id") < 30)
+        .select(F.col("vec_id").alias("q_id"), "m", F.col("sub").alias("qsub"))
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "q_id", "m", "k", F.round(_pq_sq_l2(F.col("qsub"), F.col("cent")), 6).alias("qd")
+        )
+    )
+
+
+IVFPQ_NPROBE = 2
+
+
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN — the production 10^12-vector index (Jegou et
+    al. 2011 IVFADC): coarse-quantizer routing picks each probe's
+    IVFPQ_NPROBE nearest cells (the IVF leg, _ivf_assign), and the PQ
+    asymmetric-distance scan runs ONLY over the posting lists of probed
+    cells — never the full codes table. Top-2 per probe by ADC within
+    probed cells, with the winning cell reported.
+
+    Scale shape: the codes table is laid out per-cell (cell rides the
+    index rows, the partition key a real deployment buckets by); the
+    probe side broadcasts (assigned cells x distance table — queries x
+    nprobe x M x K rows), so the only corpus-sized work is the
+    broadcast-hash join keyed on (cell, m, k) whose matches are
+    1/k_cells * nprobe of the codes scan — with Iceberg cell
+    partitioning the same join prunes at the scan (DPP). Codebook and
+    codes come from the memoized _pq_index: building emb_pq_topk and
+    this entry in one sweep trains once."""
+    e = _t(spark, sf_dir, "embeddings")
+    idx = _pq_index(spark, sf_dir)
+    subs, codebook, codes = idx["subs"], idx["codebook"], idx["codes"]
+    assigned = _ivf_assign(e, IVFPQ_NPROBE).select("q_id", "cell")
+    # probe-side table: each probe's distance rows replicated onto its
+    # probed cells only — (queries x nprobe x M x K), broadcast-sized
+    probed_dtab = assigned.join(_pq_dtab(subs, codebook), "q_id")
+    adc = (
+        codes.join(F.broadcast(probed_dtab), ["cell", "m", "k"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id", "cell")
+        .agg(F.round(F.sum("qd"), 6).alias("adc"))
+    )
+    adc = _local_topk(adc, 2, ["q_id"], ["adc", "vec_id"], [True, True])
+    w_q = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "vec_id", "cell", "adc", F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -4200,6 +4275,100 @@ SELECT q_id, vec_id, adc, rk FROM (
 
 
 EMB_PQ_SQL = _duck_pq_sql()
+
+
+_DUCK_COS = lambda a, b: (  # noqa: E731 — shared cosine fragment
+    f"coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (p, q) -> p + q) "
+    f"/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) "
+    f"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q))), 6), 0.0)"
+)
+
+
+def _duck_ivfpq_sql(nprobe: int = IVFPQ_NPROBE) -> str:
+    """Oracle twin of emb_ivfpq_topk: the PQ CTE chain (subs/codebook/
+    codes, codes carrying the vector's cell) composed with the IVF
+    assignment CTEs, ADC restricted to each probe's assigned cells."""
+    sq = lambda a, b: (  # noqa: E731
+        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, (x, i) -> (CAST(x AS DOUBLE) - {b}[i]) * "
+        f"(CAST(x AS DOUBLE) - {b}[i]))), (p, q) -> p + q), 6)"
+    )
+    planes = []
+    for j in range(PQ_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(sub, (x, i) -> CAST(x AS DOUBLE) * "
+            f"((CAST((i * {j + 1} * 2654435761) % 1000 AS DOUBLE)) / 499.5 - 1.0))), "
+            f"(p, q) -> p + q)"
+        )
+        planes.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (PQ_PLANES - 1 - j)} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+subs AS MATERIALIZED (
+  SELECT vec_id, label AS cell, m,
+         embedding[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM e CROSS JOIN ms
+), bucketed AS (
+  SELECT vec_id, m, sub, {bucket} AS k FROM subs
+), per_dim AS (
+  SELECT m, k, dim, round(avg(v), 6) AS c FROM (
+    SELECT m, k, generate_subscripts(sub, 1) AS dim, CAST(unnest(sub) AS DOUBLE) AS v
+    FROM bucketed
+  ) GROUP BY m, k, dim
+), codebook AS MATERIALIZED (
+  SELECT m, k, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS cent
+  FROM per_dim GROUP BY m, k
+), codes AS MATERIALIZED (
+  SELECT vec_id, cell, m, k FROM (
+    SELECT s.vec_id, s.cell, s.m, cb.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {sq("s.sub", "cb.cent")} ASC, cb.k ASC) AS rk
+    FROM subs s JOIN codebook cb ON cb.m = s.m
+  ) WHERE rk = 1
+), flatc AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+), cents_dim AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS c FROM flatc GROUP BY label, dim
+), cents AS (
+  SELECT label AS cell, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS centroid
+  FROM cents_dim GROUP BY label
+), probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 30
+), cell_scores AS (
+  SELECT p.q_id, c.cell, {_DUCK_COS("p.q_emb", "c.centroid")} AS cell_cos
+  FROM probes p CROSS JOIN cents c
+), assigned AS (
+  SELECT q_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, cell ASC) AS rk
+    FROM cell_scores
+  ) WHERE rk <= {nprobe}
+), dtab AS MATERIALIZED (
+  SELECT s.vec_id AS q_id, s.m, cb.k, {sq("s.sub", "cb.cent")} AS qd
+  FROM subs s JOIN codebook cb ON cb.m = s.m
+  WHERE s.vec_id < 30
+), probed_dtab AS (
+  SELECT a.q_id, a.cell, d.m, d.k, d.qd
+  FROM assigned a JOIN dtab d USING (q_id)
+), adc AS (
+  SELECT p.q_id, c.vec_id, c.cell, round(sum(p.qd), 6) AS adc
+  FROM codes c JOIN probed_dtab p
+    ON p.cell = c.cell AND p.m = c.m AND p.k = c.k AND c.vec_id != p.q_id
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, vec_id, cell, adc, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+  FROM adc
+) WHERE rk <= 2
+"""
+
+
+EMB_IVFPQ_SQL = _duck_ivfpq_sql()
 
 
 def emb_scalar_quantize(spark, sf_dir):

