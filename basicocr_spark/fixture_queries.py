@@ -446,6 +446,37 @@ def detection_nms_oracle_sql() -> str:
     return _values_sql(rows, ["media_ref", "n_kept", "kept"])
 
 
+def detection_rotated_nms_fixture(spark, sf_dir):
+    """θ-aware NMS per media span (rotated-IoU greedy suppress at 0.5 —
+    RRPN overlap, docs/nizhan): planted crossing lines must BOTH survive
+    (axis-aligned NMS wrongly suppresses them) while parallel rotated
+    dups suppress. Oracle = reference.rotated_nms, the independent
+    pure-Python convex-clipping implementation, on the same boxes."""
+    from .operators.detection import rotated_nms_df
+
+    rows = FX.gen_rotated_boxes(N_MEDIA, SEED)
+    boxes_df = spark.createDataFrame(rows, schema=FX.ROTATED_BOXES_SCHEMA)
+    out = rotated_nms_df(boxes_df)
+    return out.select(
+        "media_ref",
+        F.size("kept").cast("int").alias("n_kept"),
+        F.array_join(F.transform(F.col("kept"), lambda m: m.cast("string")), ",").alias(
+            "kept"
+        ),
+    )
+
+
+def detection_rotated_nms_oracle_sql() -> str:
+    rows = []
+    for ref, boxes in FX.gen_rotated_boxes(N_MEDIA, SEED):
+        kept = R.rotated_nms(
+            [(x, y, w, h, th) for x, y, w, h, th, _ in boxes],
+            [b[5] for b in boxes],
+        )
+        rows.append((ref, len(kept), ",".join(str(i) for i in kept)))
+    return _values_sql(rows, ["media_ref", "n_kept", "kept"])
+
+
 def detection_default_boxes_fixture(spark, sf_dir):
     """Anchor-proposal generation (TextBoxes default boxes,
     textbox.md:25-53): 6 aspect ratios x 2 vertical offsets per

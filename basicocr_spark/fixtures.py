@@ -246,6 +246,49 @@ def gen_boxes(n_media: int, seed: int = SEED) -> list[tuple]:
     return rows
 
 
+def gen_rotated_boxes(n_media: int, seed: int = SEED) -> list[tuple]:
+    """θ-carrying boxes per media_ref for the rotated-NMS fixture
+    (reference: RRPN analysis, docs/nizhan): each image plants (a) a
+    CROSS — two elongated lines sharing a center at θ=0 and θ=π/2,
+    which an axis-aligned NMS wrongly suppresses (their upright extents
+    coincide) but rotated IoU keeps (overlap is the small center
+    square); (b) a PARALLEL DUP — two same-θ boxes offset by one pixel,
+    which rotated IoU correctly suppresses; (c) seeded background boxes
+    far apart. All values double-precision (the fixture schema uses
+    double columns so kernel and oracle fold identical floats)."""
+    rng = random.Random(seed * 31 + 7)
+    rows = []
+    for i in range(n_media):
+        ref = f"r{i:06d}"
+        boxes = [
+            # cross at (40, 40)
+            (40.0, 40.0, 24.0, 6.0, 0.0, 0.95),
+            (40.0, 40.0, 24.0, 6.0, 1.5707963267948966, 0.9),
+            # parallel near-dup at (110, 40), same θ
+            (110.0, 40.0, 20.0, 8.0, 0.6, 0.92),
+            (111.0, 40.0, 20.0, 8.0, 0.6, 0.88),
+        ]
+        for b in range(rng.randint(2, 5)):
+            boxes.append(
+                (
+                    round(rng.uniform(200.0, 800.0), 2),
+                    round(rng.uniform(100.0, 400.0), 2),
+                    round(rng.uniform(10.0, 30.0), 2),
+                    round(rng.uniform(4.0, 12.0), 2),
+                    round(rng.uniform(-1.5, 1.5), 3),
+                    round(rng.uniform(0.5, 0.99), 3),
+                )
+            )
+        rows.append((ref, boxes))
+    return rows
+
+
+ROTATED_BOXES_SCHEMA = (
+    "media_ref string, boxes array<struct<"
+    "x:double,y:double,w:double,h:double,theta:double,score:double>>"
+)
+
+
 def golden_extraction(
     docs: list[tuple[str, list[dict]]],
     logits_rows: list[tuple[str, list[list[float]], str]],

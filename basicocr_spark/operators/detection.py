@@ -159,3 +159,104 @@ def nms_df(boxes_df: DataFrame, iou_thresh: float = 0.5) -> DataFrame:
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "kept": kept_col})
 
     return boxes_df.select("media_ref", "boxes").mapInPandas(kernel, "media_ref string, kept array<int>")
+
+
+def _rect_corners(x, y, w, h, theta):
+    """CCW corners of a rotated rectangle (numpy, one box)."""
+    import numpy as np
+
+    c, s = np.cos(theta), np.sin(theta)
+    out = []
+    for dx, dy in ((-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2), (-w / 2, h / 2)):
+        out.append((x + dx * c - dy * s, y + dx * s + dy * c))
+    return out
+
+
+def _clip_area(subject, clip):
+    """Area of the intersection of two convex CCW polygons via
+    Sutherland–Hodgman clipping + shoelace."""
+    poly = list(subject)
+    n = len(clip)
+    for i in range(n):
+        if not poly:
+            return 0.0
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        inside = lambda p: ex * (p[1] - ay) - ey * (p[0] - ax) >= 0.0  # noqa: E731
+        nxt = []
+        for j, cur in enumerate(poly):
+            prev = poly[j - 1]
+            cur_in, prev_in = inside(cur), inside(prev)
+            if cur_in != prev_in:
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0.0:
+                    # solve f(prev) + t*denom = 0 with f(p) = ex*(py-ay) - ey*(px-ax)
+                    t = (ex * (ay - prev[1]) - ey * (ax - prev[0])) / denom
+                    nxt.append((prev[0] + t * dx, prev[1] + t * dy))
+            if cur_in:
+                nxt.append(cur)
+        poly = nxt
+    if len(poly) < 3:
+        return 0.0
+    area = 0.0
+    for j in range(len(poly)):
+        x0, y0 = poly[j]
+        x1, y1 = poly[(j + 1) % len(poly)]
+        area += x0 * y1 - x1 * y0
+    return abs(area) / 2.0
+
+
+def rotated_iou(b1, b2) -> float:
+    """θ-aware IoU of two (x, y, w, h, theta) boxes: exact polygon
+    intersection over union — the RRPN overlap measure (reference:
+    docs/nizhan RRPN analysis; rotated proposals need rotated overlap,
+    an axis-aligned IoU over-suppresses crossing lines and
+    under-suppresses parallel rotated dups)."""
+    p1 = _rect_corners(*b1)
+    p2 = _rect_corners(*b2)
+    inter = _clip_area(p1, p2)
+    union = b1[2] * b1[3] + b2[2] * b2[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def rotated_nms_df(boxes_df: DataFrame, iou_thresh: float = 0.5) -> DataFrame:
+    """(media_ref, boxes) -> (media_ref, kept array<int>): greedy NMS per
+    media span with ROTATED IoU — suppression respects each box's θ, so
+    two elongated lines crossing at right angles both survive (their
+    rotated overlap is small even though their axis-aligned extents
+    coincide) while near-parallel rotated duplicates suppress. Same
+    per-doc Arrow-batch shape as nms_df: boxes per span are tiny, zero
+    shuffle, embarrassingly parallel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            kept_col = []
+            for boxes in pdf["boxes"]:
+                n = len(boxes)
+                if n == 0:
+                    kept_col.append([])
+                    continue
+                geo = [
+                    (b["x"], b["y"], b["w"], b["h"], b["theta"]) for b in boxes
+                ]
+                s = np.array([b["score"] for b in boxes])
+                order = np.lexsort((np.arange(n), -s))
+                kept: list[int] = []
+                for i in order:
+                    ok = True
+                    for j in kept:
+                        if rotated_iou(geo[i], geo[j]) > iou_thresh:
+                            ok = False
+                            break
+                    if ok:
+                        kept.append(int(i))
+                kept_col.append(sorted(kept))
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "kept": kept_col})
+
+    return boxes_df.select("media_ref", "boxes").mapInPandas(
+        kernel, "media_ref string, kept array<int>"
+    )

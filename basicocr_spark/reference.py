@@ -387,6 +387,71 @@ def nms(boxes: list[tuple[float, float, float, float]], scores: list[float], iou
     return sorted(kept)
 
 
+def _rot_poly(b: tuple[float, float, float, float, float]) -> list[tuple[float, float]]:
+    import math
+
+    x, y, w, h, th = b
+    c, s = math.cos(th), math.sin(th)
+    return [
+        (x + dx * c - dy * s, y + dx * s + dy * c)
+        for dx, dy in ((-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2), (-w / 2, h / 2))
+    ]
+
+
+def _convex_inter_area(p: list, q: list) -> float:
+    """Convex-polygon intersection area: clip p successively by each
+    directed edge of q (points kept on the left of each CCW edge), then
+    shoelace. Independent twin of the engine's kernel for the oracle."""
+    out = p
+    for k in range(len(q)):
+        if not out:
+            return 0.0
+        a, b = q[k], q[(k + 1) % len(q)]
+        side = lambda pt: (b[0] - a[0]) * (pt[1] - a[1]) - (b[1] - a[1]) * (pt[0] - a[0])  # noqa: E731
+        res = []
+        m = len(out)
+        for j in range(m):
+            cur, nxt = out[j], out[(j + 1) % m]
+            sc, sn = side(cur), side(nxt)
+            if sc >= 0:
+                res.append(cur)
+            if (sc >= 0) != (sn >= 0):
+                # edge crosses the clip line: append the crossing point
+                t = sc / (sc - sn)
+                res.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+        out = res
+    if len(out) < 3:
+        return 0.0
+    tot = 0.0
+    for j in range(len(out)):
+        x0, y0 = out[j]
+        x1, y1 = out[(j + 1) % len(out)]
+        tot += x0 * y1 - x1 * y0
+    return abs(tot) / 2.0
+
+
+def rotated_nms(
+    boxes: list[tuple[float, float, float, float, float]],
+    scores: list[float],
+    iou_thresh: float = 0.5,
+) -> list[int]:
+    """Greedy NMS with θ-aware (rotated) IoU — the oracle twin of
+    operators/detection.rotated_nms_df (RRPN overlap, docs/nizhan)."""
+    order = sorted(range(len(boxes)), key=lambda i: (-scores[i], i))
+    kept: list[int] = []
+    for i in order:
+        ok = True
+        for j in kept:
+            inter = _convex_inter_area(_rot_poly(boxes[i]), _rot_poly(boxes[j]))
+            union = boxes[i][2] * boxes[i][3] + boxes[j][2] * boxes[j][3] - inter
+            if union > 0 and inter / union > iou_thresh:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return sorted(kept)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end document extraction (the flagship oracle)
 # ---------------------------------------------------------------------------

@@ -63,3 +63,38 @@ def test_nms_matches_reference(spark):
     for ref, boxes in rows:
         want = R.nms([(b["x"], b["y"], b["w"], b["h"]) for b in boxes], [b["score"] for b in boxes])
         assert got[ref] == want, ref
+
+
+def test_rotated_nms_theta_awareness(spark):
+    """The planted cross (two elongated lines at θ=0 / θ=π/2, same
+    center) must BOTH survive rotated NMS — an axis-aligned NMS sees
+    identical upright extents and suppresses one — while the parallel
+    same-θ near-dup pair suppresses its lower-score member."""
+    from basicocr_spark import fixtures as FX
+    from basicocr_spark.operators.detection import nms_df, rotated_nms_df
+
+    rows = FX.gen_rotated_boxes(6, FX.SEED)
+    df = spark.createDataFrame(rows, schema=FX.ROTATED_BOXES_SCHEMA)
+    rot = {r.media_ref: list(r.kept) for r in rotated_nms_df(df).collect()}
+    axis = {r.media_ref: list(r.kept) for r in nms_df(df).collect()}
+    for ref, _boxes in rows:
+        # boxes 0,1 are the cross; 2,3 the parallel dup (3 loses)
+        assert 0 in rot[ref] and 1 in rot[ref], (ref, rot[ref])
+        assert 2 in rot[ref] and 3 not in rot[ref], (ref, rot[ref])
+        # axis-aligned NMS wrongly suppresses one arm of the cross
+        assert not (0 in axis[ref] and 1 in axis[ref]), (ref, axis[ref])
+
+
+def test_rotated_nms_matches_reference(spark):
+    from basicocr_spark import fixtures as FX
+    from basicocr_spark.operators.detection import rotated_nms_df
+
+    rows = FX.gen_rotated_boxes(24, FX.SEED)
+    df = spark.createDataFrame(rows, schema=FX.ROTATED_BOXES_SCHEMA)
+    got = {r.media_ref: list(r.kept) for r in rotated_nms_df(df).collect()}
+    for ref, boxes in rows:
+        want = R.rotated_nms(
+            [(x, y, w, h, th) for x, y, w, h, th, _ in boxes],
+            [b[5] for b in boxes],
+        )
+        assert got[ref] == want, ref
