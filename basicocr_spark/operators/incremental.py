@@ -127,10 +127,23 @@ class SketchStore:
         """(doc_id, band, sig) across committed batches, None when empty."""
         return self._read("bands")
 
+    def committed_kmv(self) -> DataFrame | None:
+        """(h) union of committed per-batch KMV token sketches, None when
+        no batch has committed one. Snapshots committed before the KMV
+        table existed simply have no kmv dir — _read skips them."""
+        return self._read("kmv")
+
     def commit_batch(
-        self, fp_df: DataFrame, banded_df: DataFrame, snapshot_id: str | None = None
+        self,
+        fp_df: DataFrame,
+        banded_df: DataFrame,
+        snapshot_id: str | None = None,
+        kmv_df: DataFrame | None = None,
     ) -> dict:
-        """Write this batch's sketches, then drop the marker LAST."""
+        """Write this batch's sketches, then drop the marker LAST.
+        `kmv_df` (optional, column `h`) is the batch's k-minimum-values
+        distinct-token sketch — committing it makes cross-crawl distinct
+        telemetry incremental too (corpus_distinct_estimate)."""
         from ..plans.checkpoint import next_free_sid
 
         sids = self.committed_snapshots()
@@ -147,6 +160,10 @@ class SketchStore:
         banded_df.select("doc_id", "band", "sig").write.mode("overwrite").parquet(
             os.path.join(self.root, "bands", f"snapshot={sid}")
         )
+        if kmv_df is not None:
+            kmv_df.select("h").write.mode("overwrite").parquet(
+                os.path.join(self.root, "kmv", f"snapshot={sid}")
+            )
         os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
         marker = os.path.join(self.root, "_commits", sid)
         tmp = marker + ".tmp"
@@ -192,6 +209,13 @@ class SketchStore:
         bands.write.mode("overwrite").parquet(
             os.path.join(self.root, "bands", f"snapshot={sid}")
         )
+        kmv = self.committed_kmv()
+        if kmv is not None:
+            # KMV union = k smallest of the union — compaction loses nothing
+            Q = _queries()
+            kmv.distinct().orderBy(F.col("h").asc()).limit(Q.KMV_K).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.root, "kmv", f"snapshot={sid}"))
         os.makedirs(os.path.join(self.root, "_compacted"), exist_ok=True)
         for s in old:
             stone = os.path.join(self.root, "_compacted", s)
@@ -209,7 +233,7 @@ class SketchStore:
         for s in old:
             os.remove(os.path.join(self.root, "_commits", s))
         for s in old:
-            for table in ("fp", "bands"):
+            for table in ("fp", "bands", "kmv"):
                 shutil.rmtree(
                     os.path.join(self.root, table, f"snapshot={s}"),
                     ignore_errors=True,
@@ -231,6 +255,54 @@ def batch_sketches(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         HK.minhash_signatures_df(batch_docs, num_hashes=Q.N_MINHASH, k=3), "doc_id"
     ).localCheckpoint(eager=False)
     return fp_df, banded_df
+
+
+def batch_kmv_sketch(batch_docs: DataFrame) -> DataFrame:
+    """The batch's KMV distinct-token sketch: the KMV_K smallest distinct
+    spread token hashes (column `h`), exactly docs_token_kmv_distinct's
+    sketch restricted to one batch. KMV sketches union by taking the k
+    smallest of the union, so per-batch sketches committed to the store
+    merge into the EXACT full-corpus sketch without ever rescanning a
+    committed batch's text (corpus_distinct_estimate)."""
+    Q = _queries()
+    from ..functions import textstats as TS
+
+    toks = batch_docs.select(
+        F.explode(TS.tokens(F.col("text"))).alias("word")
+    ).distinct()
+    spread = (
+        F.lit(Q.KMV_MULT) * TS.char_poly_hash(F.col("word")) + F.lit(Q.KMV_ADD)
+    ) % F.lit(Q.MINHASH_PRIME)
+    return toks.select(spread.alias("h")).distinct().orderBy(F.col("h").asc()).limit(
+        Q.KMV_K
+    )
+
+
+def corpus_distinct_estimate(
+    store: SketchStore, extra_kmv: DataFrame | None = None
+) -> dict:
+    """Cross-crawl distinct-token estimate from COMMITTED KMV sketches
+    (optionally unioned with an in-flight batch's sketch): the global
+    k-min merge reads only the store's tiny kmv parquet — no committed
+    batch's corpus text is rescanned. Returns
+    {"k", "n_sketch", "est_distinct"}; est = (k-1) * M / h_k, the same
+    estimator (and constants) as docs_token_kmv_distinct, so an estimate
+    over batches 1..N equals the single-query estimate over their union
+    exactly."""
+    Q = _queries()
+    kmv = store.committed_kmv()
+    if extra_kmv is not None:
+        kmv = extra_kmv if kmv is None else kmv.unionByName(extra_kmv)
+    if kmv is None:
+        return {"k": Q.KMV_K, "n_sketch": 0, "est_distinct": 0.0}
+    kmin = kmv.distinct().orderBy(F.col("h").asc()).limit(Q.KMV_K)
+    row = kmin.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")).collect()[0]  # sanctioned-collect: 1-row sketch aggregate
+    n, hk = int(row["n"]), row["hk"]
+    if n < Q.KMV_K:
+        est = float(n)  # sketch not full: it IS the distinct set
+    else:
+        est = round((Q.KMV_K - 1) * float(Q.MINHASH_PRIME) / hk, 2)
+    return {"k": Q.KMV_K, "n_sketch": n, "est_distinct": est}
 
 
 def incremental_dedup_batch(

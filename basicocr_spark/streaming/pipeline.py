@@ -259,7 +259,11 @@ def streaming_incremental_dedup(
     import os
     import uuid
 
-    from ..operators.incremental import SketchStore, incremental_dedup_batch
+    from ..operators.incremental import (
+        SketchStore,
+        batch_kmv_sketch,
+        incremental_dedup_batch,
+    )
 
     store = SketchStore(spark, sketch_root)
     os.makedirs(stream_checkpoint_dir, exist_ok=True)
@@ -286,7 +290,12 @@ def streaming_incremental_dedup(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(verdicts_root, f"epoch={sid}")
         )
-        store.commit_batch(fp, bands, snapshot_id=sid)
+        # the batch's KMV token sketch commits alongside fp/bands, so
+        # cross-crawl distinct-token telemetry is incremental too
+        # (corpus_distinct_estimate never rescans committed batches)
+        store.commit_batch(
+            fp, bands, snapshot_id=sid, kmv_df=batch_kmv_sketch(batch_df)
+        )
 
     stream = (
         spark.readStream.schema(input_schema)

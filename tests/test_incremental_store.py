@@ -268,6 +268,55 @@ def test_compact_tombstones_keep_replayed_epochs_committed(spark, tmp_path):
     assert res3["snapshot_id"] not in epoch_sids
 
 
+def test_kmv_sketches_merge_incrementally_without_rescan(spark, tmp_path):
+    """Two batches commit KMV token sketches; the corpus distinct
+    estimate from the COMMITTED sketches must exactly equal
+    docs_token_kmv_distinct over the full corpus (KMV union is exact:
+    k-min of per-batch k-mins == k-min of the union) — computed after
+    batch 1's source parquet is DELETED, proving no rescan. Compaction
+    folds the kmv sketches too, estimate unchanged."""
+    import shutil
+
+    from basicocr_spark.operators.incremental import (
+        batch_kmv_sketch,
+        corpus_distinct_estimate,
+    )
+
+    d = _docs(spark)
+    b1_docs = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b2_docs = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    b1_path = tmp_path / "b1"
+    b1_docs.write.mode("overwrite").parquet(str(b1_path))
+
+    store = SketchStore(spark, str(tmp_path / "s"))
+    b1 = spark.read.parquet(str(b1_path))
+    _, fp1, bd1 = incremental_dedup_batch(b1, store)
+    store.commit_batch(fp1, bd1, kmv_df=batch_kmv_sketch(b1))
+    _, fp2, bd2 = incremental_dedup_batch(b2_docs, store)
+    store.commit_batch(fp2, bd2, kmv_df=batch_kmv_sketch(b2_docs))
+
+    shutil.rmtree(b1_path)  # committed batch text gone: only sketches remain
+
+    want = Q.docs_token_kmv_distinct(spark, SF).collect()[0]
+    got = corpus_distinct_estimate(store)
+    assert got["k"] == want["k"]
+    assert got["n_sketch"] == want["n_sketch"]
+    assert got["est_distinct"] == want["est_distinct"]
+
+    # compaction folds kmv into one snapshot; estimate unchanged
+    res = store.compact()
+    assert res["compacted"] == 2
+    assert corpus_distinct_estimate(store) == got
+
+    # an in-flight batch of NEW tokens unions in without a store commit
+    fresh = spark.createDataFrame(
+        [(10_000_000 + i, f"zzznew{i} qqqrare{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bigger = corpus_distinct_estimate(store, extra_kmv=batch_kmv_sketch(fresh))
+    assert bigger["est_distinct"] >= got["est_distinct"]
+
+
 def test_sketchstore_rejects_non_local_root(spark, tmp_path):
     """A misconfigured non-local root must fail loudly, not silently
     verdict every batch 'new' (listings over os.listdir would come back
