@@ -4094,14 +4094,66 @@ def emb_pq_topk(spark, sf_dir):
     )
 
 
+PQ_KMEANS_ITERS = 2  # deterministic Lloyd refinements after sign-plane init
+
+
+def _pq_means(gsubs: DataFrame) -> DataFrame:
+    """(gk, embedding) -> per-group mean codebook rows (m, k, cent),
+    centroids rounded at 6dp (the cross-engine boundary). Rides
+    group_vector_sums_df kernel partials — one tiny partial row per
+    input partition shuffles, never an n x d scalar explode."""
+    partials = V.group_vector_sums_df(gsubs, "gk", "embedding")
+    flat = partials.select(
+        "gk", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
+    )
+    cents_flat = flat.groupBy("gk", "dim").agg(
+        (F.sum(F.col("sc.sums")) / F.sum(F.col("sc.counts"))).alias("c")
+    )
+    return (
+        cents_flat.groupBy("gk")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            (F.col("gk") / 100).cast("int").alias("m"),
+            (F.col("gk") % 100).cast("int").alias("k"),
+            F.transform("dc", lambda x: F.round(x["c"], 6)).alias("cent"),
+        )
+        .localCheckpoint(eager=False)  # consumed by the next assign + dtab
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vec_id, m) subspace row: argmin rounded
+    squared-L2 with k-asc tie-break — the SAME rule for Lloyd
+    reassignment and final encoding, so training and encode can't
+    drift. Keeps `sub` so a training round can re-average."""
+    scored = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "cell",
+        "m",
+        "k",
+        "sub",
+        F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("k").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w_code)).filter(
+        F.col("rk") == 1
+    )
+
+
 def _pq_index(spark, sf_dir) -> dict:
     """Memoized PQ index build shared by emb_pq_topk and emb_ivfpq_topk
     (the codebook and codes are THE index — training twice per sweep
-    would be the BPE double-run mistake again). Returns
-    {"subs", "codebook", "codes"}; subs and codes carry the vector's
-    coarse cell (= label, the same stand-in cells the IVF queries use)
-    so codes form per-cell posting lists — the physical layout a real
-    IVF-PQ index partitions by."""
+    would be the BPE double-run mistake again). Training is sign-plane
+    LSH init -> PQ_KMEANS_ITERS deterministic Lloyd rounds (reassign by
+    rounded L2, re-average; 6dp-rounded centroids keep both engines'
+    assignments identical each round; a cluster that loses all members
+    simply drops, standard Lloyd). Returns {"subs", "codebook",
+    "codes"}; subs and codes carry the vector's coarse cell (= label,
+    the same stand-in cells the IVF queries use) so codes form per-cell
+    posting lists — the physical layout a real IVF-PQ index partitions
+    by."""
 
     def build():
         e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -4115,44 +4167,29 @@ def _pq_index(spark, sf_dir) -> dict:
                 )
             ).alias("m", "sub"),
         ).localCheckpoint(eager=False)  # consumed by build, encode, probes
-        # codebook: LSH-bucket init -> per-bucket mean via kernel partials
-        gsubs = subs.select(
-            (F.col("m") * F.lit(100) + V.hyperplane_sign_bucket(F.col("sub"), PQ_PLANES))
-            .cast("long")
-            .alias("gk"),
-            F.col("sub").alias("embedding"),
-        )
-        partials = V.group_vector_sums_df(gsubs, "gk", "embedding")
-        flat = partials.select(
-            "gk", F.posexplode(F.arrays_zip("sums", "counts")).alias("dim", "sc")
-        )
-        cents_flat = flat.groupBy("gk", "dim").agg(
-            (F.sum(F.col("sc.sums")) / F.sum(F.col("sc.counts"))).alias("c")
-        )
-        codebook = (
-            cents_flat.groupBy("gk")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-            .select(
-                (F.col("gk") / 100).cast("int").alias("m"),
-                (F.col("gk") % 100).cast("int").alias("k"),
-                F.transform("dc", lambda x: F.round(x["c"], 6)).alias("cent"),
+        # iteration 0: LSH-bucket init -> per-bucket mean
+        codebook = _pq_means(
+            subs.select(
+                (
+                    F.col("m") * F.lit(100)
+                    + V.hyperplane_sign_bucket(F.col("sub"), PQ_PLANES)
+                )
+                .cast("long")
+                .alias("gk"),
+                F.col("sub").alias("embedding"),
             )
-            .localCheckpoint(eager=False)  # consumed by encode + every dtab
         )
-        # encode: argmin rounded squared-L2 over the subspace's centroids
-        scored_codes = subs.join(F.broadcast(codebook), "m").select(
-            "vec_id",
-            "cell",
-            "m",
-            "k",
-            F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
-        )
-        w_code = Window.partitionBy("vec_id", "m").orderBy(
-            F.col("dist").asc(), F.col("k").asc()
-        )
+        # Lloyd rounds: reassign -> re-average (bounded, deterministic)
+        for _ in range(PQ_KMEANS_ITERS):
+            assigned = _pq_assign(subs, codebook)
+            codebook = _pq_means(
+                assigned.select(
+                    (F.col("m") * F.lit(100) + F.col("k")).cast("long").alias("gk"),
+                    F.col("sub").alias("embedding"),
+                )
+            )
         codes = (
-            scored_codes.withColumn("rk", F.row_number().over(w_code))
-            .filter(F.col("rk") == 1)
+            _pq_assign(subs, codebook)
             .select("vec_id", "cell", "m", "k")
             .localCheckpoint(eager=False)  # the corpus-compressed index
         )
@@ -4216,12 +4253,21 @@ def emb_ivfpq_topk(spark, sf_dir):
     )
 
 
-def _duck_pq_sql() -> str:
-    sq = lambda a, b: (
+def _duck_sq_l2(a: str, b: str) -> str:
+    return (
         f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, (x, i) -> (CAST(x AS DOUBLE) - {b}[i]) * "
         f"(CAST(x AS DOUBLE) - {b}[i]))), (p, q) -> p + q), 6)"
     )
+
+
+def _duck_pq_ctes(with_cell: bool) -> str:
+    """Shared PQ CTE chain: subs -> sign-plane init cb0 -> PQ_KMEANS_ITERS
+    unrolled Lloyd rounds (a{i} reassign, cb{i} re-average) -> `codebook`
+    (alias of the final round) -> `codes` -> `dtab`. Mirrors _pq_index
+    exactly, including the 6dp centroid rounding that keeps both engines'
+    assignments identical each round."""
+    sq = _duck_sq_l2
     # sign-plane bucket of a subvector: Spark's j in 0..PQ_PLANES-1 with
     # 0-based i -> (i+1)(j+1); DuckDB i is 1-based -> i*(j+1)
     planes = []
@@ -4234,26 +4280,48 @@ def _duck_pq_sql() -> str:
         )
         planes.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (PQ_PLANES - 1 - j)} ELSE 0 END)")
     bucket = " + ".join(planes)
-    return f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    cell_sel = "label AS cell, " if with_cell else ""
+    cell_code = "s.cell, " if with_cell else ""
+
+    def mean_cte(name: str, src: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT m, k, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS cent
+  FROM (
+    SELECT m, k, dim, round(avg(v), 6) AS c FROM (
+      SELECT m, k, generate_subscripts(sub, 1) AS dim, CAST(unnest(sub) AS DOUBLE) AS v
+      FROM {src}
+    ) GROUP BY m, k, dim
+  ) GROUP BY m, k
+)"""
+
+    parts = [
+        f"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL),
 ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 subs AS MATERIALIZED (
-  SELECT vec_id, m,
+  SELECT vec_id, {cell_sel}m,
          embedding[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
   FROM e CROSS JOIN ms
 ), bucketed AS (
   SELECT vec_id, m, sub, {bucket} AS k FROM subs
-), per_dim AS (
-  SELECT m, k, dim, round(avg(v), 6) AS c FROM (
-    SELECT m, k, generate_subscripts(sub, 1) AS dim, CAST(unnest(sub) AS DOUBLE) AS v
-    FROM bucketed
-  ) GROUP BY m, k, dim
-), codebook AS MATERIALIZED (
-  SELECT m, k, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS cent
-  FROM per_dim GROUP BY m, k
-), codes AS MATERIALIZED (
-  SELECT vec_id, m, k FROM (
-    SELECT s.vec_id, s.m, cb.k,
+), {mean_cte("cb0", "bucketed")}"""
+    ]
+    for i in range(1, PQ_KMEANS_ITERS + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, m, k, sub FROM (
+    SELECT s.vec_id, s.m, cb.k, s.sub,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {sq("s.sub", "cb.cent")} ASC, cb.k ASC) AS rk
+    FROM subs s JOIN cb{i - 1} cb ON cb.m = s.m
+  ) WHERE rk = 1
+), {mean_cte(f"cb{i}", f"a{i}")}"""
+        )
+    parts.append(
+        f""", codebook AS (SELECT * FROM cb{PQ_KMEANS_ITERS}),
+codes AS MATERIALIZED (
+  SELECT vec_id, {"cell, " if with_cell else ""}m, k FROM (
+    SELECT s.vec_id, {cell_code}s.m, cb.k,
            row_number() OVER (PARTITION BY s.vec_id, s.m
                               ORDER BY {sq("s.sub", "cb.cent")} ASC, cb.k ASC) AS rk
     FROM subs s JOIN codebook cb ON cb.m = s.m
@@ -4262,7 +4330,14 @@ subs AS MATERIALIZED (
   SELECT s.vec_id AS q_id, s.m, cb.k, {sq("s.sub", "cb.cent")} AS qd
   FROM subs s JOIN codebook cb ON cb.m = s.m
   WHERE s.vec_id < 30
-), adc AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def _duck_pq_sql() -> str:
+    return f"""
+{_duck_pq_ctes(with_cell=False)}, adc AS (
   SELECT d.q_id, c.vec_id, round(sum(d.qd), 6) AS adc
   FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.k AND c.vec_id != d.q_id
   GROUP BY d.q_id, c.vec_id
@@ -4288,49 +4363,11 @@ _DUCK_COS = lambda a, b: (  # noqa: E731 — shared cosine fragment
 
 
 def _duck_ivfpq_sql(nprobe: int = IVFPQ_NPROBE) -> str:
-    """Oracle twin of emb_ivfpq_topk: the PQ CTE chain (subs/codebook/
-    codes, codes carrying the vector's cell) composed with the IVF
-    assignment CTEs, ADC restricted to each probe's assigned cells."""
-    sq = lambda a, b: (  # noqa: E731
-        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform({a}, (x, i) -> (CAST(x AS DOUBLE) - {b}[i]) * "
-        f"(CAST(x AS DOUBLE) - {b}[i]))), (p, q) -> p + q), 6)"
-    )
-    planes = []
-    for j in range(PQ_PLANES):
-        proj = (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(sub, (x, i) -> CAST(x AS DOUBLE) * "
-            f"((CAST((i * {j + 1} * 2654435761) % 1000 AS DOUBLE)) / 499.5 - 1.0))), "
-            f"(p, q) -> p + q)"
-        )
-        planes.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** (PQ_PLANES - 1 - j)} ELSE 0 END)")
-    bucket = " + ".join(planes)
+    """Oracle twin of emb_ivfpq_topk: the shared PQ CTE chain (codes
+    carrying the vector's cell) composed with the IVF assignment CTEs,
+    ADC restricted to each probe's assigned cells."""
     return f"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL),
-ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
-subs AS MATERIALIZED (
-  SELECT vec_id, label AS cell, m,
-         embedding[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
-  FROM e CROSS JOIN ms
-), bucketed AS (
-  SELECT vec_id, m, sub, {bucket} AS k FROM subs
-), per_dim AS (
-  SELECT m, k, dim, round(avg(v), 6) AS c FROM (
-    SELECT m, k, generate_subscripts(sub, 1) AS dim, CAST(unnest(sub) AS DOUBLE) AS v
-    FROM bucketed
-  ) GROUP BY m, k, dim
-), codebook AS MATERIALIZED (
-  SELECT m, k, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS cent
-  FROM per_dim GROUP BY m, k
-), codes AS MATERIALIZED (
-  SELECT vec_id, cell, m, k FROM (
-    SELECT s.vec_id, s.cell, s.m, cb.k,
-           row_number() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY {sq("s.sub", "cb.cent")} ASC, cb.k ASC) AS rk
-    FROM subs s JOIN codebook cb ON cb.m = s.m
-  ) WHERE rk = 1
-), flatc AS (
+{_duck_pq_ctes(with_cell=True)}, flatc AS (
   SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
   FROM embeddings
 ), cents_dim AS (
@@ -4348,10 +4385,6 @@ subs AS MATERIALIZED (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cell_cos DESC, cell ASC) AS rk
     FROM cell_scores
   ) WHERE rk <= {nprobe}
-), dtab AS MATERIALIZED (
-  SELECT s.vec_id AS q_id, s.m, cb.k, {sq("s.sub", "cb.cent")} AS qd
-  FROM subs s JOIN codebook cb ON cb.m = s.m
-  WHERE s.vec_id < 30
 ), probed_dtab AS (
   SELECT a.q_id, a.cell, d.m, d.k, d.qd
   FROM assigned a JOIN dtab d USING (q_id)
