@@ -624,7 +624,7 @@ def video_frame_sample_oracle_sql() -> str:
     return _values_sql(rows, ["media_ref", "frame_idx", "frame_bytes"])
 
 
-MEDIA_PHASH_HAM_MAX = 6  # < 8 byte-bands: pigeonhole keeps the ball exact
+from .operators.multimodal import MEDIA_PHASH_HAM_MAX  # noqa: E402 — single source
 
 
 def media_phash_near_dup_fixture(spark, sf_dir):

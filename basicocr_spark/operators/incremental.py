@@ -127,6 +127,38 @@ class SketchStore:
         """(doc_id, band, sig) across committed batches, None when empty."""
         return self._read("bands")
 
+    def committed_phash(self) -> DataFrame | None:
+        """(media_ref, phash) union of committed perceptual-hash
+        sketches (media crawl-dedup), None when no batch committed one."""
+        return self._read("phash")
+
+    def commit_media_batch(
+        self, phash_df: DataFrame, snapshot_id: str | None = None
+    ) -> dict:
+        """Commit a MEDIA batch's perceptual-hash sketches (media_ref,
+        phash) as a snapshot — same marker-last visibility and
+        exactly-once replay semantics as commit_batch; media and text
+        batches share one sid namespace (a media snapshot simply has no
+        fp/bands dirs, which readers skip)."""
+        from ..plans.checkpoint import next_free_sid
+
+        taken = sorted(
+            set(self.committed_snapshots()) | set(self.superseded_snapshots())
+        )
+        sid = snapshot_id or next_free_sid(taken)
+        if sid in taken:  # replayed epoch: exactly-once no-op
+            return {"snapshot_id": sid, "replayed": True}
+        phash_df.select("media_ref", "phash").write.mode("overwrite").parquet(
+            os.path.join(self.root, "phash", f"snapshot={sid}")
+        )
+        os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
+        marker = os.path.join(self.root, "_commits", sid)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.rename(tmp, marker)
+        return {"snapshot_id": sid, "replayed": False}
+
     def committed_kmv(self) -> DataFrame | None:
         """(h) union of committed per-batch KMV token sketches, None when
         no batch has committed one. Snapshots committed before the KMV
@@ -201,14 +233,18 @@ class SketchStore:
         from ..plans.checkpoint import next_free_sid
 
         sid = next_free_sid(sorted(set(old) | set(self.superseded_snapshots())))
-        fp = self.committed_fingerprints().distinct()
-        bands = self.committed_bands().distinct()
-        fp.write.mode("overwrite").parquet(
-            os.path.join(self.root, "fp", f"snapshot={sid}")
-        )
-        bands.write.mode("overwrite").parquet(
-            os.path.join(self.root, "bands", f"snapshot={sid}")
-        )
+        # every table is optional: a media-only store has no fp/bands,
+        # a pre-kmv store no kmv — fold whatever is present
+        fp = self.committed_fingerprints()
+        if fp is not None:
+            fp.distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, "fp", f"snapshot={sid}")
+            )
+        bands = self.committed_bands()
+        if bands is not None:
+            bands.distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, "bands", f"snapshot={sid}")
+            )
         kmv = self.committed_kmv()
         if kmv is not None:
             # KMV union = k smallest of the union — compaction loses nothing
@@ -216,6 +252,11 @@ class SketchStore:
             kmv.distinct().orderBy(F.col("h").asc()).limit(Q.KMV_K).write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.root, "kmv", f"snapshot={sid}"))
+        ph = self.committed_phash()
+        if ph is not None:
+            ph.distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, "phash", f"snapshot={sid}")
+            )
         os.makedirs(os.path.join(self.root, "_compacted"), exist_ok=True)
         for s in old:
             stone = os.path.join(self.root, "_compacted", s)
@@ -233,7 +274,7 @@ class SketchStore:
         for s in old:
             os.remove(os.path.join(self.root, "_commits", s))
         for s in old:
-            for table in ("fp", "bands", "kmv"):
+            for table in ("fp", "bands", "kmv", "phash"):
                 shutil.rmtree(
                     os.path.join(self.root, table, f"snapshot={s}"),
                     ignore_errors=True,
@@ -303,6 +344,96 @@ def corpus_distinct_estimate(
     else:
         est = round((Q.KMV_K - 1) * float(Q.MINHASH_PRIME) / hk, 2)
     return {"k": Q.KMV_K, "n_sketch": n, "est_distinct": est}
+
+
+def _phash_byte_bands(vals: DataFrame, out: str) -> DataFrame:
+    """Explode DISTINCT 64-bit perceptual hashes into 8 byte bands —
+    the pigeonhole candidate scheme of queries.hamming_ball_pairs,
+    reused here for the incoming x committed two-sided join."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), 8 * b).bitwiseAND(F.lit(255)).alias("sig"),
+            )
+            for b in range(8)
+        ]
+    )
+    return vals.select("phash", F.explode(bands).alias("bb")).select(
+        F.col("phash").alias(out),
+        F.col("bb.band").alias("band"),
+        F.col("bb.sig").alias("sig"),
+    )
+
+
+def incremental_media_dedup_batch(
+    blobs: DataFrame, store: SketchStore
+) -> tuple[DataFrame, DataFrame]:
+    """Verdicts for one incoming MEDIA batch against the committed
+    perceptual-hash store — the media column's recurring-crawl dedup,
+    composing media_dhash with the SketchStore: exact_dup (an identical
+    dHash is committed), near_dup_candidate (a committed hash within the
+    <= MEDIA_PHASH_HAM_MAX hamming ball), else new. Returns (verdicts,
+    phash_df); callers commit the batch's sketches after ingest:
+
+        verdicts, ph = incremental_media_dedup_batch(blobs, store)
+        ... ingest the 'new' blobs ...
+        store.commit_media_batch(ph)
+
+    Scale shape: both the exact semi-join and the near candidate join
+    run over DISTINCT hash VALUES (clone-class collapse — a flood of
+    identical frames is one row), the near join is the byte-band
+    pigeonhole scheme (exact for the ball, never all-pairs), and the
+    committed side is the store's tiny phash parquet — media bytes are
+    never re-decoded after their batch commits. Undecodable blobs emit
+    no sketch row and no verdict (P1/P2 skip semantics)."""
+    from .multimodal import MEDIA_PHASH_HAM_MAX, media_dhash
+
+    phash_df = media_dhash(blobs).localCheckpoint(eager=False)
+    com = store.committed_phash()
+    if com is None:
+        verdicts = phash_df.select(
+            "media_ref",
+            F.lit(0).cast("long").alias("n_near_matches"),
+            F.lit("new").alias("verdict"),
+        )
+        return verdicts, phash_df
+    com_vals = com.select("phash").distinct().localCheckpoint(eager=False)
+    exact = (
+        phash_df.join(com_vals, "phash", "left_semi")
+        .select("media_ref")
+        .withColumn("is_exact", F.lit(1))
+    )
+    cand = (
+        _phash_byte_bands(phash_df.select("phash").distinct(), "ph_i")
+        .join(_phash_byte_bands(com_vals, "ph_c"), ["band", "sig"])
+        .select("ph_i", "ph_c")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_i").bitwiseXOR(F.col("ph_c"))).cast("long"),
+        )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= MEDIA_PHASH_HAM_MAX))
+    )
+    near = (
+        cand.groupBy(F.col("ph_i").alias("phash"))
+        .agg(F.count(F.lit(1)).alias("n_near_matches"))
+    )
+    verdict = (
+        F.when(F.col("is_exact") == 1, "exact_dup")
+        .when(F.col("n_near_matches") > 0, "near_dup_candidate")
+        .otherwise("new")
+    )
+    verdicts = (
+        phash_df.join(exact, "media_ref", "left")
+        .join(near, "phash", "left")
+        .select(
+            "media_ref",
+            F.coalesce(F.col("n_near_matches"), F.lit(0)).alias("n_near_matches"),
+            verdict.alias("verdict"),
+        )
+    )
+    return verdicts, phash_df
 
 
 def incremental_dedup_batch(

@@ -243,6 +243,11 @@ def media_batches_dynamic_width(
     )
 
 
+# hamming radius for perceptual near-dup: < 8 byte-bands keeps the
+# banded candidate join EXACT by pigeonhole (see queries.hamming_ball_pairs)
+MEDIA_PHASH_HAM_MAX = 6
+
+
 def media_dhash(blobs: DataFrame, decoder=None, grid: int = 8) -> DataFrame:
     """Perceptual difference-hash (dHash) per media blob: decode
     (pluggable, resolve_decoder) -> grayscale 'resize' to

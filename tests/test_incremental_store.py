@@ -317,6 +317,64 @@ def test_kmv_sketches_merge_incrementally_without_rescan(spark, tmp_path):
     assert bigger["est_distinct"] >= got["est_distinct"]
 
 
+def test_incremental_media_dedup_two_batch_crawl(spark, tmp_path):
+    """Media crawl loop: batch 1's perceptual hashes commit; batch 2's
+    clones verdict exact_dup, perturbed re-encodes near_dup_candidate,
+    fresh images new, corrupt blobs skipped — all from the COMMITTED
+    sketches (batch 1's blobs never re-decoded). Replay no-ops;
+    compaction folds phash snapshots without changing verdicts."""
+    from basicocr_spark.operators.incremental import incremental_media_dedup_batch
+    from basicocr_spark.operators.multimodal import (
+        MEDIA_BLOB,
+        encode_fake_image,
+        perturb_fake_image,
+    )
+
+    store = SketchStore(spark, str(tmp_path / "s"))
+    base = {f"img{i:04d}-{chr(97 + i)}{i * i + 7}": encode_fake_image(
+        f"img{i:04d}-{chr(97 + i)}{i * i + 7}", 96 + 8 * (i % 5), 32
+    ) for i in range(8)}
+    b1 = spark.createDataFrame(
+        [(r, buf, "image/x-bocr", None, None) for r, buf in base.items()],
+        schema=MEDIA_BLOB,
+    )
+    v1, ph1 = incremental_media_dedup_batch(b1, store)
+    assert all(r.verdict == "new" for r in v1.collect())
+    res = store.commit_media_batch(ph1)
+    assert res["replayed"] is False
+    assert store.commit_media_batch(ph1, snapshot_id=res["snapshot_id"])["replayed"]
+
+    refs = sorted(base)
+    b2_rows = (
+        [(f"{r}_clone", base[r], "image/x-bocr", None, None) for r in refs[:3]]
+        + [
+            (f"{r}_near", perturb_fake_image(base[r], (4, 5)), "image/x-bocr", None, None)
+            for r in refs[3:6]
+        ]
+        + [("freshzz9", encode_fake_image("freshzz9", 120, 32), "image/x-bocr", None, None)]
+        + [("imgbad", b"\x00junk", "image/x-bocr", None, None)]
+    )
+    b2 = spark.createDataFrame(b2_rows, schema=MEDIA_BLOB)
+    v2, ph2 = incremental_media_dedup_batch(b2, store)
+    got = {r.media_ref: r.verdict for r in v2.collect()}
+    assert "imgbad" not in got  # undecodable: no sketch, no verdict
+    for r in refs[:3]:
+        assert got[f"{r}_clone"] == "exact_dup", got
+    for r in refs[3:6]:
+        assert got[f"{r}_near"] == "near_dup_candidate", got
+    assert got["freshzz9"] == "new"
+    store.commit_media_batch(ph2)
+
+    # compaction folds the phash snapshots; a probe batch of batch-2
+    # clones still verdicts exact_dup afterwards
+    assert store.compact()["compacted"] == 2
+    probe = spark.createDataFrame(
+        [("probe1", base[refs[0]], "image/x-bocr", None, None)], schema=MEDIA_BLOB
+    )
+    v3, _ = incremental_media_dedup_batch(probe, store)
+    assert [r.verdict for r in v3.collect()] == ["exact_dup"]
+
+
 def test_sketchstore_rejects_non_local_root(spark, tmp_path):
     """A misconfigured non-local root must fail loudly, not silently
     verdict every batch 'new' (listings over os.listdir would come back
