@@ -4125,20 +4125,38 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid code per (vec_id, m) subspace row: argmin rounded
     squared-L2 with k-asc tie-break — the SAME rule for Lloyd
     reassignment and final encoding, so training and encode can't
-    drift. Keeps `sub` so a training round can re-average."""
-    scored = subs.join(F.broadcast(codebook), "m").select(
-        "vec_id",
-        "cell",
-        "m",
-        "k",
-        "sub",
-        F.round(_pq_sq_l2(F.col("sub"), F.col("cent")), 6).alias("dist"),
+    drift. Keeps `sub` so a training round can re-average.
+
+    Shape: a pure zero-shuffle projection. The subspace's <=K centroids
+    ride ONE broadcast array column and the argmin happens inside the
+    row (array_sort on struct(dist, k) — lexicographic = dist asc, k-asc
+    tie-break), so assignment never explodes to K rows per subvector and
+    never shuffles: Lloyd rounds cost one narrow map each, not a
+    corpus-sized sort. At 10^12 vectors this is the difference between
+    3 extra shuffles per training run and none."""
+    cb_by_m = codebook.groupBy("m").agg(
+        F.collect_list(F.struct("k", "cent")).alias("cents")
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("dist").asc(), F.col("k").asc()
-    )
-    return scored.withColumn("rk", F.row_number().over(w_code)).filter(
-        F.col("rk") == 1
+    best = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_pq_sq_l2(F.col("sub"), c["cent"]), 6).alias("dist"),
+                c["k"].alias("k"),
+            ),
+        )
+    )[0]
+    return (
+        subs.join(F.broadcast(cb_by_m), "m")
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.col("best")["k"].alias("k"),
+            "sub",
+            F.col("best")["dist"].alias("dist"),
+        )
     )
 
 
