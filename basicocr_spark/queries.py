@@ -4057,8 +4057,9 @@ def emb_pq_topk(spark, sf_dir):
     """Product quantization ANN (Jegou et al. 2011) — the index family
     that actually fits 10^12 embeddings in memory: split each vector
     into PQ_M subspaces, learn a per-subspace codebook (deterministic
-    training: sign-plane LSH initial assignment -> per-bucket mean, one
-    k-means step), encode every vector as PQ_M small codes, and answer
+    training: sign-plane LSH initial assignment -> per-bucket mean ->
+    PQ_KMEANS_ITERS Lloyd rounds), encode every vector as PQ_M small
+    codes, and answer
     queries by asymmetric distance (ADC): a per-query distance TABLE
     against each subspace codebook, then a sum of table lookups per
     encoded vector — no full-vector math at query time. Top-2 neighbors
