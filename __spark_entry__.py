@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "media_phash_near_dup": FQ.media_phash_near_dup_fixture,
         "emb_ivfpq_topk": Q.emb_ivfpq_topk,
+        "emb_semdedup": Q.emb_semdedup,
         "detection_rotated_nms": FQ.detection_rotated_nms_fixture,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_benchmark_contamination": Q.DOCS_CONTAMINATION_SQL,
         "media_phash_near_dup": FQ.media_phash_near_dup_oracle_sql(),
         "emb_ivfpq_topk": Q.EMB_IVFPQ_SQL,
+        "emb_semdedup": Q.EMB_SEMDEDUP_SQL,
         "detection_rotated_nms": FQ.detection_rotated_nms_oracle_sql(),
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),

@@ -4694,3 +4694,135 @@ FROM inc
 LEFT JOIN exact ON inc.doc_id = exact.doc_id
 LEFT JOIN near ON inc.doc_id = near.doc_id
 """
+
+
+# ===========================================================================
+# Round 5: SemDeDup — semantic dedup over the embedding column
+# ===========================================================================
+
+SEMDEDUP_TAU = 0.4  # same cosine near-dup threshold as emb_near_dup_cosine
+
+
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic deduplication over the
+    embedding column, the stage that removes *meaning-level* duplicates
+    exact/MinHash dedup can't see (paraphrases, re-encodes, crops):
+    cluster the corpus with the coarse quantizer (per-label centroids —
+    the same stand-in cells the IVF/PQ entries use; a production build
+    swaps in trained k-means cells), compute pairwise cosine WITHIN
+    each cell only, and drop every vector that has a near-duplicate
+    (cos >= SEMDEDUP_TAU) ranked ahead of it. Keep-rank = (cosine to
+    own cell centroid ASC, vec_id ASC) — the paper keeps the
+    least-typical member of each duplicate pair (low centroid
+    similarity = more informative outlier), made deterministic with the
+    id tie-break. Output: (vec_id, cell, cent_cos, keep) for EVERY
+    vector — the decision table a pipeline joins against its corpus.
+
+    Scale shape: the quadratic pair join is per-cell only — SemDeDup's
+    own control is growing k with the corpus so cells stay bounded
+    (paper: 50k clusters at LAION scale), and the cell equi-join
+    shuffles each cell to one task, never all-pairs across the corpus.
+    Centroids ride group_vector_sums_df kernel partials and broadcast
+    (dictionary-sized, k rows). The drop verdict is a doc-keyed
+    left join against the distinct dropped set — no corpus window.
+    Reference analog: generate-then-verify candidate discipline of
+    trietree_correct.py:153-199, applied to the embedding modality."""
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e)
+
+
+def semdedup(e: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """Core SemDeDup decision table over an (vec_id, embedding, label)
+    DataFrame — see emb_semdedup for semantics and the scale shape."""
+    e = e.filter(F.col("embedding").isNotNull())
+    flat = _centroid_per_dim(e)
+    cents = (
+        flat.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dc", lambda x: x["c"]).alias("centroid"),
+        )
+    )
+    ranked = (
+        e.join(F.broadcast(cents), e["label"] == cents["cell"])
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            V.cosine_rounded_fast(F.col("embedding"), F.col("centroid"), 6).alias(
+                "cent_cos"
+            ),
+        )
+        .localCheckpoint(eager=False)  # consumed by both pair sides + output
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    # b "ranked ahead of" a: keep-rank (cent_cos asc, vec_id asc)
+    ahead = (F.col("cc_b") < F.col("cc_a")) | (
+        (F.col("cc_b") == F.col("cc_a")) & (F.col("vec_b") < F.col("vec_a"))
+    )
+    dropped = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & ahead)
+        .withColumn("cos", V.cosine_rounded_fast(F.col("emb_a"), F.col("emb_b"), 6))
+        .filter(F.col("cos") >= tau)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return ranked.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "cent_cos",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+    )
+
+
+def _duck_semdedup_sql() -> str:
+    cos = lambda x, y: (
+        f"coalesce(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({x}, (x, i) -> CAST(x AS DOUBLE) * CAST({y}[i] AS DOUBLE))), (p, q) -> p + q) "
+        f"/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({x}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q)) "
+        f"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({y}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, q) -> p + q))), 6), 0.0)"
+    )
+    return f"""
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+), per_dim AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS c FROM flat GROUP BY label, dim
+), cents AS (
+  SELECT label AS cell, list_transform(list_sort(list({{'dim': dim, 'c': c}})), r -> r.c) AS centroid
+  FROM per_dim GROUP BY label
+), ranked AS (
+  SELECT e.vec_id, c.cell, e.embedding, {cos("e.embedding", "c.centroid")} AS cent_cos
+  FROM embeddings e JOIN cents c ON e.label = c.cell
+  WHERE e.embedding IS NOT NULL
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.cell = b.cell
+   AND (b.cent_cos < a.cent_cos OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+  WHERE {cos("a.embedding", "b.embedding")} >= {SEMDEDUP_TAU}
+)
+SELECT r.vec_id,
+       CAST(r.cell AS INTEGER) AS cell,
+       r.cent_cos,
+       d.vec_id IS NULL AS keep
+FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+"""
+
+
+EMB_SEMDEDUP_SQL = _duck_semdedup_sql()
