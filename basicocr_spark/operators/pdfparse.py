@@ -97,8 +97,50 @@ _ENDSTREAM_RE = re.compile(rb"endstream")
 _ENDOBJ_RE = re.compile(rb"endobj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.S)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
-# text-block grammar: positioning + showing operators inside BT..ET
-_BT_RE = re.compile(rb"BT(.*?)ET", re.S)
+# text-block grammar: positioning + showing operators inside BT..ET.
+# BT/ET must be recognized as standalone TOKENS outside string
+# literals: the naive rb"BT(.*?)ET" truncates a block at an 'ET'
+# inside a shown string — `(ET) Tj` — and drops its text entirely
+# (hypothesis-found). _iter_bt_blocks below is the string-aware scan.
+
+
+def _iter_bt_blocks(data: bytes):
+    """Yield the inner bytes of each BT..ET text block. Tracks PDF
+    string literals (balanced parens + backslash escapes, PDF 32000-1
+    §7.3.4.2) so operator-lookalike bytes inside a string never open or
+    close a block; BT/ET match only at token boundaries."""
+    i, n = 0, len(data)
+    start = None  # index just past the open block's BT token
+    depth = 0  # paren nesting inside the current string literal
+    while i < n:
+        c = data[i : i + 1]
+        if depth:
+            if c == b"\\":
+                i += 2
+                continue
+            if c == b"(":
+                depth += 1
+            elif c == b")":
+                depth -= 1
+            i += 1
+            continue
+        if c == b"(":
+            depth = 1
+            i += 1
+            continue
+        two = data[i : i + 2]
+        if two in (b"BT", b"ET"):
+            prev_ok = i == 0 or not data[i - 1 : i].isalnum()
+            next_ok = i + 2 >= n or not data[i + 2 : i + 3].isalnum()
+            if prev_ok and next_ok:
+                if two == b"BT" and start is None:
+                    start = i + 2
+                elif two == b"ET" and start is not None:
+                    yield data[start:i]
+                    start = None
+                i += 2
+                continue
+        i += 1
 _TOK_RE = re.compile(
     rb"\(((?:\\.|[^\\()])*)\)\s*Tj"  # (string) Tj
     rb"|\[((?:\((?:\\.|[^\\()])*\)|[^\]])*)\]\s*TJ"  # [ ... ] TJ
@@ -237,9 +279,9 @@ def extract_pdf_text_blocks(buf: bytes | None) -> list[dict]:
                     data = zlib.decompress(sm.group(1))
                 except zlib.error:
                     continue
-        for bt in _BT_RE.finditer(data):
+        for inner in _iter_bt_blocks(data):
             x = y = 0.0
-            for tok in _TOK_RE.finditer(bt.group(1)):
+            for tok in _TOK_RE.finditer(inner):
                 if tok.group(1) is not None:  # Tj
                     blocks.append(
                         {"page": page_no, "x": x, "y": y, "text": _unescape(tok.group(1))}
