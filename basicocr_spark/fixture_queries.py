@@ -74,6 +74,36 @@ def ctc_decode_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# attention_decode: autoregressive attention decode of the same planted
+# logits — Arrow-batched numpy kernel vs the pure-Python scalar-loop twin
+# ---------------------------------------------------------------------------
+
+def attention_decode_fixture(spark, sf_dir):
+    """Attention greedy decode (encoder-state softmax -> content-attention
+    -> autoregressive argmax emission until EOS; functions/attention.py —
+    the docs-tier attention-OCR decoder variant, docs/yangmiao) over the
+    same seeded logits as ctc_decode, checked against the independent
+    pure-Python scalar-loop implementation."""
+    from .functions.attention import make_attention_decode_udf
+
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    df = spark.createDataFrame(rows, schema=S.MEDIA_LOGITS)
+    return df.select(
+        "media_ref", make_attention_decode_udf()(F.col("logits")).alias("decoded")
+    )
+
+
+def attention_decode_oracle_sql() -> str:
+    from .functions.attention import attention_greedy_decode_py
+
+    rows = FX.gen_media_logits(N_MEDIA, SEED)
+    return _values_sql(
+        [(r, attention_greedy_decode_py(lg)) for r, lg, _ in rows],
+        ["media_ref", "decoded"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # correction: broadcast levenshtein pipeline vs reference.correct_word
 # ---------------------------------------------------------------------------
 
