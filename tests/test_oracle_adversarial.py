@@ -102,6 +102,8 @@ EMB_QUERIES = [
     "emb_near_dup_cosine",
     "emb_scalar_quantize",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_semdedup",
 ]
 
 
