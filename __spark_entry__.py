@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": Q.emb_semdedup,
         "detection_rotated_nms": FQ.detection_rotated_nms_fixture,
         "attention_decode": FQ.attention_decode_fixture,
+        "ctc_beam_decode": FQ.ctc_beam_decode_fixture,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_semdedup": Q.EMB_SEMDEDUP_SQL,
         "detection_rotated_nms": FQ.detection_rotated_nms_oracle_sql(),
         "attention_decode": FQ.attention_decode_oracle_sql(),
+        "ctc_beam_decode": FQ.ctc_beam_decode_oracle_sql(),
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -74,6 +74,39 @@ def ctc_decode_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# ctc_beam_decode: prefix beam search over SOFT planted logits — where the
+# best labeling (mass summed over alignments) differs from greedy's best
+# alignment on 17 of the 24 seeded rows
+# ---------------------------------------------------------------------------
+
+def ctc_beam_decode_fixture(spark, sf_dir):
+    """CTC prefix beam search (W=3; Graves 2006 / Hannun 2014 —
+    functions/ctc_beam.py) over seeded SOFT logits, checked against the
+    independent pure-Python implementation. Greedy (utils.py:25-101
+    semantics) disagrees on most of these rows by construction — the
+    fixture pins the labeling-vs-alignment distinction, not a re-run of
+    ctc_decode."""
+    from .functions.ctc_beam import make_ctc_beam_decode_udf
+
+    rows = FX.gen_soft_logits(N_MEDIA, SEED)
+    df = spark.createDataFrame(
+        rows, schema="media_ref string, logits array<array<float>>"
+    )
+    return df.select(
+        "media_ref", make_ctc_beam_decode_udf()(F.col("logits")).alias("decoded")
+    )
+
+
+def ctc_beam_decode_oracle_sql() -> str:
+    from .functions.ctc_beam import ctc_beam_decode_py
+
+    rows = FX.gen_soft_logits(N_MEDIA, SEED)
+    return _values_sql(
+        [(r, ctc_beam_decode_py(lg)) for r, lg in rows], ["media_ref", "decoded"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # attention_decode: autoregressive attention decode of the same planted
 # logits — Arrow-batched numpy kernel vs the pure-Python scalar-loop twin
 # ---------------------------------------------------------------------------

@@ -143,6 +143,34 @@ def gen_media_logits(
     return rows
 
 
+def gen_soft_logits(
+    n: int, seed: int = SEED, alphabet: str = _ALPHA, t_total: int = 10, n_active: int = 4
+) -> list[tuple[str, list[list[float]]]]:
+    """(media_ref, logits T×(len(alphabet)+1)) rows with SOFT evidence —
+    no planted 8.0 spike. Each row draws a small active class set whose
+    logits sit in [0, 3.5] (blank competes at [0.5, 3.0]); inactive
+    classes are pinned at -8 so the softmax mass stays on the actives.
+    Soft frames are where beam search and greedy decode genuinely
+    diverge (greedy follows the best per-frame alignment; beam sums
+    mass over alignments per labeling) — gen_media_logits' peaky rows
+    would make a beam fixture vacuous."""
+    rng = random.Random(seed * 17 + 5)
+    nclass = len(alphabet) + 1
+    rows = []
+    for i in range(n):
+        ref = f"s{i:06d}"
+        active = sorted(rng.sample(range(1, nclass), n_active))
+        logits = []
+        for _ in range(t_total):
+            row = [-8.0] * nclass
+            row[0] = round(rng.uniform(0.5, 3.0), 4)
+            for k in active:
+                row[k] = round(rng.uniform(0.0, 3.5), 4)
+            logits.append(row)
+        rows.append((ref, logits))
+    return rows
+
+
 def _content_block(rng: random.Random, stop_prob: float = 0.2) -> str:
     words = [rng.choice(_CONTENT_WORDS) for _ in range(rng.randint(8, 20))]
     if rng.random() < stop_prob:
