@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detection_rotated_nms": FQ.detection_rotated_nms_fixture,
         "attention_decode": FQ.attention_decode_fixture,
         "ctc_beam_decode": FQ.ctc_beam_decode_fixture,
+        "docs_temperature_mixture": Q.docs_temperature_mixture,
+        "docs_segment_dedup": Q.docs_segment_dedup,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -250,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "detection_rotated_nms": FQ.detection_rotated_nms_oracle_sql(),
         "attention_decode": FQ.attention_decode_oracle_sql(),
         "ctc_beam_decode": FQ.ctc_beam_decode_oracle_sql(),
+        "docs_temperature_mixture": Q.DOCS_TEMPERATURE_MIXTURE_SQL,
+        "docs_segment_dedup": Q.DOCS_SEGMENT_DEDUP_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

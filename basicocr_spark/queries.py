@@ -4826,3 +4826,186 @@ FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
 
 
 EMB_SEMDEDUP_SQL = _duck_semdedup_sql()
+
+
+# ===========================================================================
+# Multilingual mixture rebalancing + CCNet-style segment dedup (round 5)
+# ===========================================================================
+
+# Temperature for language up-sampling: p_i ∝ (n_i/N)^ALPHA. 0.3 is the
+# published mT5/XLM-R choice — low-resource languages are boosted hard
+# while the head language keeps the majority of the budget.
+MIXTURE_ALPHA = 0.3
+
+
+def docs_temperature_mixture(spark, sf_dir):
+    """Multilingual temperature-sampling mixture weights (the mT5 /
+    XLM-R rebalancing stage every multilingual training pipeline runs
+    before sampling a training mix): per language, p_raw = n_docs / N
+    and p_sampled ∝ p_raw^α with α=0.3, plus the per-language boost
+    factor p_sampled / p_raw a sampler multiplies into its per-doc
+    acceptance rate.
+
+    Scale shape: ONE corpus scan into a partial+final agg keyed by
+    lang — the result is a languages-sized table (dozens of rows at
+    web scale, never corpus-sized), so the α-power, the Σp^α
+    normalizer, and the final join are all driver-trivial broadcast
+    crosses over that tiny table. Nothing corpus-sized shuffles twice.
+    Both engines round to 6 dp after identical double arithmetic
+    (count ratio -> pow -> normalize), the same cross-engine float
+    discipline as docs_tfidf_top_terms."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TS.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    pw = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p_raw", F.col("n_docs") / F.col("n_total").cast("double"))
+        .withColumn("pw", F.pow(F.col("p_raw"), F.lit(MIXTURE_ALPHA)))
+    )
+    z = pw.agg(F.sum("pw").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("p_sampled"),
+            F.round((F.col("pw") / F.col("z")) / F.col("p_raw"), 6).alias("boost"),
+        )
+    )
+
+
+DOCS_TEMPERATURE_MIXTURE_SQL = rf"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n_docs) AS n_total FROM per
+), pw AS (
+  SELECT lang, n_docs, n_tokens,
+         n_docs / CAST(n_total AS DOUBLE) AS p_raw,
+         pow(n_docs / CAST(n_total AS DOUBLE), {MIXTURE_ALPHA}) AS pw
+  FROM per CROSS JOIN tot
+), z AS (
+  SELECT sum(pw) AS z FROM pw
+)
+SELECT lang, n_docs, n_tokens,
+       round(p_raw, 6) AS p_raw,
+       round(pw / z, 6) AS p_sampled,
+       round((pw / z) / p_raw, 6) AS boost
+FROM pw CROSS JOIN z
+"""
+
+
+# CCNet-style segment gating: non-overlapping token windows of this
+# length; a doc whose duplicated-segment fraction exceeds the max is
+# dropped from the training mix.
+SEGMENT_LEN = 8
+SEGMENT_DUP_FRAC_MAX = 0.5
+
+
+def docs_segment_dedup(spark, sf_dir):
+    """CCNet-style duplicated-segment gating (Wenzek et al.: dedup at
+    paragraph granularity, then drop documents that are mostly
+    duplicated content): each doc's tokens are chunked into
+    non-overlapping SEGMENT_LEN-token segments; a segment is
+    *duplicated* if its exact content appears in >= 2 distinct docs;
+    a doc is kept iff its duplicated-segment fraction <= 0.5. This is
+    the sub-document dedup stage between exact doc dedup (which misses
+    partial copies) and MinHash near-dup (which misses small inserted
+    boilerplate runs).
+
+    Scale shape: segments shuffle by a 64-bit content fingerprint
+    (the Arrow poly-hash kernel; its DuckDB twin `_duck_poly` keeps
+    the oracle engine-independent), never by the segment string — at
+    web scale the shuffle carries 8 bytes per segment instead of
+    ~50-byte text. Two shuffles total: the segment-df agg (map-side
+    combined; hot boilerplate segments collapse to one row per
+    partition before the exchange) and the per-doc verdict agg keyed
+    by doc_id. No window, no self-join — candidate generation is a
+    plain fingerprint equi-join, so there is no quadratic bucket to
+    flood. Short docs (< SEGMENT_LEN tokens) contribute no segments
+    and are kept with dup_frac 0. A fingerprint collision can only
+    mark one extra segment duplicated, identically in both engines."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    n_seg = F.floor(F.size("toks") / SEGMENT_LEN).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= SEGMENT_LEN,
+                F.transform(
+                    F.sequence(F.lit(1), n_seg),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), (i - 1) * SEGMENT_LEN + 1, SEGMENT_LEN),
+                        " ",
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg"),
+    ).select("doc_id", HK.poly_hash_kernel(F.col("seg")).alias("sh"))
+    seg_df = segs.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        segs.join(seg_df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_segments"),
+        )
+    )
+    frac = F.col("n_dup_segments") / F.col("n_segments").cast("double")
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias("n_segments"),
+            F.coalesce(F.col("n_dup_segments"), F.lit(0).cast("long")).alias("n_dup_segments"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("dup_frac"),
+            (F.coalesce(frac, F.lit(0.0)) <= F.lit(SEGMENT_DUP_FRAC_MAX)).alias("keep"),
+        )
+    )
+
+
+def _duck_segment_dedup_sql() -> str:
+    seg_str = (
+        f"array_to_string(arr[(i-1)*{SEGMENT_LEN}+1:(i-1)*{SEGMENT_LEN}+{SEGMENT_LEN}], ' ')"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(arr) >= {SEGMENT_LEN}
+                     THEN list_transform(generate_series(1, len(arr) // {SEGMENT_LEN}),
+                                         i -> {_duck_poly(seg_str)})
+                     ELSE CAST([] AS BIGINT[]) END) AS sh
+  FROM toks
+), seg_df AS (
+  SELECT sh, count(DISTINCT doc_id) AS df FROM segs GROUP BY sh
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_segments,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+  FROM segs JOIN seg_df USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_segments, 0) AS n_segments,
+       coalesce(p.n_dup_segments, 0) AS n_dup_segments,
+       round(coalesce(p.n_dup_segments / CAST(p.n_segments AS DOUBLE), 0.0), 6) AS dup_frac,
+       coalesce(p.n_dup_segments / CAST(p.n_segments AS DOUBLE), 0.0) <= {SEGMENT_DUP_FRAC_MAX} AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+DOCS_SEGMENT_DEDUP_SQL = _duck_segment_dedup_sql()

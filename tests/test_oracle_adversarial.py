@@ -95,6 +95,8 @@ DOC_QUERIES = [
     "docs_quality_lm_filter",
     "docs_shared_ngram_pairs",
     "docs_benchmark_contamination",
+    "docs_temperature_mixture",
+    "docs_segment_dedup",
 ]
 EMB_QUERIES = [
     "emb_norms",

@@ -173,11 +173,12 @@ def test_gram_queries_shuffle_hashes_not_strings(spark):
     for df in (
         Q.docs_dup_ngram_fraction(spark, SF),
         Q.docs_containment_pairs(spark, SF),
+        Q.docs_segment_dedup(spark, SF),
     ):
         plan = _plan(df)
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
-                assert "gram#" not in line, line
+                assert "gram#" not in line and "seg#" not in line, line
         # the hash projection is the Arrow kernel, not the interpreted
         # Catalyst per-char fold
         assert "poly_hash_batch" in plan
