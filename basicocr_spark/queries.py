@@ -4925,39 +4925,56 @@ def docs_segment_dedup(spark, sf_dir):
     (the Arrow poly-hash kernel; its DuckDB twin `_duck_poly` keeps
     the oracle engine-independent), never by the segment string — at
     web scale the shuffle carries 8 bytes per segment instead of
-    ~50-byte text. Two shuffles total: the segment-df agg (map-side
-    combined; hot boilerplate segments collapse to one row per
-    partition before the exchange) and the per-doc verdict agg keyed
-    by doc_id. No window, no self-join — candidate generation is a
-    plain fingerprint equi-join, so there is no quadratic bucket to
-    flood. Short docs (< SEGMENT_LEN tokens) contribute no segments
-    and are kept with dup_frac 0. A fingerprint collision can only
-    mark one extra segment duplicated, identically in both engines."""
+    ~50-byte text. The segment table feeds two consumers (the df agg
+    and the verdict join), so it is localCheckpoint'd — without it
+    the tokenize+kernel pipeline computes on both join inputs AND
+    each branch evaluates the Arrow UDF twice (the join's implicit
+    isnotnull(sh) can't see through ArrowEvalPython: 4 kernel passes
+    total, measured 2.5x slower). The verdict join's right side is
+    pre-filtered to fingerprints with df >= 2, so unique segments —
+    the overwhelming majority at web scale — never enter the join
+    build side. Two shuffles on segment data: the segment-df agg
+    (map-side combined; hot boilerplate segments collapse to one row
+    per partition before the exchange) and the per-doc verdict agg
+    keyed by doc_id. No window, no self-join — there is no quadratic
+    bucket to flood. Short docs (< SEGMENT_LEN tokens) contribute no
+    segments and are kept with dup_frac 0. A fingerprint collision
+    can only mark one extra segment duplicated, identically in both
+    engines."""
     d = _t_wide(spark, sf_dir, "documents")
     toks = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
     n_seg = F.floor(F.size("toks") / SEGMENT_LEN).cast("int")
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= SEGMENT_LEN,
-                F.transform(
-                    F.sequence(F.lit(1), n_seg),
-                    lambda i: F.array_join(
-                        F.slice(F.col("toks"), (i - 1) * SEGMENT_LEN + 1, SEGMENT_LEN),
-                        " ",
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= SEGMENT_LEN,
+                    F.transform(
+                        F.sequence(F.lit(1), n_seg),
+                        lambda i: F.array_join(
+                            F.slice(F.col("toks"), (i - 1) * SEGMENT_LEN + 1, SEGMENT_LEN),
+                            " ",
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("seg"),
-    ).select("doc_id", HK.poly_hash_kernel(F.col("seg")).alias("sh"))
-    seg_df = segs.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("seg"),
+        )
+        .select("doc_id", HK.poly_hash_kernel(F.col("seg")).alias("sh"))
+        .localCheckpoint(eager=False)  # consumed by the df agg + verdict join
+    )
+    dup_sh = (
+        segs.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sh", F.lit(1).alias("is_dup"))
+    )
     per_doc = (
-        segs.join(seg_df, "sh")
+        segs.join(dup_sh, "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_segments"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_segments"),
         )
     )
     frac = F.col("n_dup_segments") / F.col("n_segments").cast("double")

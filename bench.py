@@ -218,6 +218,9 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             "docs_lm_perplexity",
             "emb_pq_topk",
             "docs_quality_lm_filter",
+            # round-5 addition: the CCNet-style sub-document dedup stage
+            # (corpus-sized segment shuffle keyed by int64 fingerprints)
+            "docs_segment_dedup",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —

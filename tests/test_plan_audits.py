@@ -170,10 +170,13 @@ def test_gram_queries_shuffle_hashes_not_strings(spark):
     poly hash (a 5-word gram is ~30 bytes; at 10^12 docs the gram table
     is the pipeline's largest shuffle). The gram column may only appear
     in the pre-shuffle Generate/Project stage feeding the hash kernel."""
-    for df in (
-        Q.docs_dup_ngram_fraction(spark, SF),
-        Q.docs_containment_pairs(spark, SF),
-        Q.docs_segment_dedup(spark, SF),
+    for df, kernel_visible in (
+        (Q.docs_dup_ngram_fraction(spark, SF), True),
+        (Q.docs_containment_pairs(spark, SF), True),
+        # segment dedup localCheckpoints the fingerprinted segment table
+        # (2 consumers), which truncates lineage — the kernel runs once
+        # behind the checkpoint boundary and is invisible downstream
+        (Q.docs_segment_dedup(spark, SF), False),
     ):
         plan = _plan(df)
         for line in plan.splitlines():
@@ -181,7 +184,8 @@ def test_gram_queries_shuffle_hashes_not_strings(spark):
                 assert "gram#" not in line and "seg#" not in line, line
         # the hash projection is the Arrow kernel, not the interpreted
         # Catalyst per-char fold
-        assert "poly_hash_batch" in plan
+        if kernel_visible:
+            assert "poly_hash_batch" in plan
         assert "ascii(" not in plan
 
 
