@@ -5026,3 +5026,131 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 
 DOCS_SEGMENT_DEDUP_SQL = _duck_segment_dedup_sql()
+
+
+# ===========================================================================
+# DSIR importance resampling (round 5)
+# ===========================================================================
+
+# Hashed n-gram feature space. Production DSIR uses 10k buckets; 64 keeps
+# every bucket populated on the driver's ~33-distinct-token synthetic
+# corpora so the smoothed ratios stay informative. The shape is
+# bucket-count-independent: the model table is always B rows.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"  # target distribution: the English slice
+DSIR_K = 50              # Gumbel-top-k sample size
+
+
+def docs_dsir_sample(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): pick the raw-corpus
+    docs that look most like a target domain. Features are hashed word
+    uni+bigrams into DSIR_BUCKETS buckets; bag-of-buckets unigram models
+    p_target / p_raw are estimated with add-one smoothing; each doc's
+    log importance weight is sum over feature OCCURRENCES of
+    ln(p_target[f]) - ln(p_raw[f]); the sample is Gumbel-top-k over
+    log_w + g (sampling without replacement with prob proportional to
+    the importance weight), with the Gumbel noise derived from a
+    deterministic per-doc hash so both engines draw the same "random"
+    keys: u = (poly_hash(doc_id || '#dsir') + 0.5) / MOD, g = -ln(-ln u).
+
+    Scale shape: ONE corpus tokenization (lazily checkpointed); grams
+    are hashed by the Arrow poly-hash kernel right after the explode so
+    every shuffle carries int64 bucket ids, never gram strings. The
+    model is a B-row table (map-side combine collapses each partition
+    to <= B rows before a tiny shuffle), broadcast back for scoring, so
+    the corpus-sized feature stream shuffles exactly once, on doc_id,
+    with partial aggregation. Selection is orderBy+limit ->
+    TakeOrderedAndProject (per-partition top-k merged on the driver),
+    never a global window. Both engines sum identical
+    integer-ratio logs; doubles rounded at the boundary, rank ties
+    broken by doc_id."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = (
+        d.select("doc_id", "lang", TS.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks_df.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (HK.poly_hash_kernel(F.col("gram")) % DSIR_BUCKETS).alias("f"),
+    )
+    model = feats.groupBy("f").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = model.groupBy().agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    log_ratio = F.log(
+        (F.col("ct") + 1) / (F.col("tt") + DSIR_BUCKETS).cast("double")
+    ) - F.log((F.col("cr") + 1) / (F.col("tr") + DSIR_BUCKETS).cast("double"))
+    lr_table = model.crossJoin(F.broadcast(tot)).select("f", log_ratio.alias("lr"))
+    scored = (
+        feats.join(F.broadcast(lr_table), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("log_w"))
+    )
+    u = (
+        TS.char_poly_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#dsir")))
+        + 0.5
+    ) / F.lit(float(TS.MOD))
+    return (
+        scored.select(
+            "doc_id",
+            F.round("log_w", 6).alias("log_w"),
+            F.round(F.col("log_w") - F.log(-F.log(u)), 6).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+
+
+DOCS_DSIR_SQL = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), feats AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           list_transform(arr, w -> {_duck_poly('w')} % {DSIR_BUCKETS}),
+           CASE WHEN len(arr) >= 2
+                THEN list_transform(generate_series(1, len(arr) - 1),
+                                    i -> {_duck_poly("arr[i] || ' ' || arr[i+1]")} % {DSIR_BUCKETS})
+                ELSE CAST([] AS BIGINT[]) END)) AS f
+  FROM tok WHERE len(arr) >= 1
+), model AS (
+  SELECT f,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY f
+), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM model),
+scored AS (
+  SELECT doc_id,
+         sum(ln((ct + 1) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+             - ln((cr + 1) / CAST(tr + {DSIR_BUCKETS} AS DOUBLE))) AS log_w
+  FROM feats JOIN model USING (f) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(log_w, 6) AS log_w,
+       round(log_w - ln(-ln(({_duck_poly("CAST(doc_id AS VARCHAR) || '#dsir'")} + 0.5)
+                           / {float(TS.MOD)})), 6) AS sample_key
+FROM scored
+ORDER BY sample_key DESC, doc_id
+LIMIT {DSIR_K}
+"""

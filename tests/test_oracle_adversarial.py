@@ -97,6 +97,7 @@ DOC_QUERIES = [
     "docs_benchmark_contamination",
     "docs_temperature_mixture",
     "docs_segment_dedup",
+    "docs_dsir_sample",
 ]
 EMB_QUERIES = [
     "emb_norms",
