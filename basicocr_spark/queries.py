@@ -5042,9 +5042,11 @@ DSIR_K = 50              # Gumbel-top-k sample size
 
 
 def docs_dsir_sample(spark, sf_dir):
-    """DSIR data selection (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): pick the raw-corpus
-    docs that look most like a target domain. Features are hashed word
+    """DSIR data selection — importance resampling that picks the
+    raw-corpus docs most like a target domain, the domain-targeting
+    stage of modern pretraining-data pipelines. Published as Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling". Features are hashed word
     uni+bigrams into DSIR_BUCKETS buckets; bag-of-buckets unigram models
     p_target / p_raw are estimated with add-one smoothing; each doc's
     log importance weight is sum over feature OCCURRENCES of
