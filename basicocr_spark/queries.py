@@ -5156,3 +5156,126 @@ FROM scored
 ORDER BY sample_key DESC, doc_id
 LIMIT {DSIR_K}
 """
+
+
+# ===========================================================================
+# Exact-substring removal (round 5)
+# ===========================================================================
+
+EXSUB_N = SHARED_NGRAM_N  # same 10-token evidence width as the pair detector
+
+
+def docs_exact_substring_removal(spark, sf_dir):
+    """Exact-substring dedup with REMOVAL — the completion of
+    docs_shared_ngram_pairs, which only detects: Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) removes the duplicated text itself, keeping one
+    canonical occurrence. Every EXSUB_N-token gram appearing in >= 2
+    distinct docs elects the min doc_id as its canonical owner; in every
+    OTHER doc, all token positions covered by any occurrence of a
+    duplicated gram are removed (overlapping grams union their spans),
+    and the cleaned text is re-joined. The owner keeps its text intact,
+    so exactly one copy of each duplicated passage survives corpus-wide.
+
+    Scale shape: positional grams project in-row and hash through the
+    Arrow kernel BEFORE any shuffle, so the corpus-sized gram stream is
+    (doc_id, pos, int64) rows, never strings. The owner table reduces
+    distinct (gh, doc_id) pairs; the coverage join is occurrence ->
+    gram-stats on gh — LINEAR in occurrences (no self-join, so unlike
+    the pair detector no df cap is needed: a boilerplate gram in a
+    million docs costs a million join rows, exactly the rows being
+    cleaned). Covered positions fold back per doc (collect_set bounded
+    by doc length) and the strip is an in-row indexed filter. Everything
+    integer/string — no float parity risk."""
+    n = EXSUB_N
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = d.select(
+        "doc_id", TS.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    toks = F.col("toks")
+    pos_grams = (
+        toks_df.filter(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            HK.poly_hash_kernel(F.col("pg.gram")).alias("gh"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: owner agg + coverage join
+    )
+    owners = (
+        pos_grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") >= 2)
+        .select("gh", "owner")
+    )
+    cov = (
+        pos_grams.join(owners, "gh")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("cov"))
+    )
+    covc = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    return toks_df.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(covc).cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter(toks, lambda x, i: ~F.array_contains(covc, i + 1)), " "
+        ).alias("cleaned_text"),
+    )
+
+
+def _duck_exsub_sql() -> str:
+    n = EXSUB_N
+    gram = f"array_to_string(arr[i:i+{n - 1}], ' ')"
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), pg AS MATERIALIZED (
+  SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(arr) >= {n}
+      THEN list_transform(generate_series(1, len(arr) - {n - 1}),
+                          i -> struct_pack(pos := i, gh := {_duck_poly(gram)}))
+      ELSE CAST([] AS STRUCT(pos BIGINT, gh BIGINT)[]) END) AS s
+    FROM tok)
+), owners AS (
+  SELECT gh, min(doc_id) AS owner
+  FROM (SELECT DISTINCT gh, doc_id FROM pg)
+  GROUP BY gh HAVING count(*) >= 2
+), covp AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT pg.doc_id, unnest(generate_series(pos, pos + {n - 1})) AS p
+    FROM pg JOIN owners USING (gh) WHERE pg.doc_id <> owner)
+), cov AS (
+  SELECT doc_id, list_sort(list(p)) AS cov FROM covp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(arr) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(list_transform(generate_series(1, len(arr)),
+                                    i -> CASE WHEN list_contains(cov, i) THEN NULL
+                                              ELSE arr[i] END),
+                     x -> x IS NOT NULL), ' '), '') AS cleaned_text
+FROM tok t LEFT JOIN cov USING (doc_id)
+"""
+
+
+DOCS_EXSUB_SQL = _duck_exsub_sql()

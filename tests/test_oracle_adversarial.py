@@ -98,6 +98,7 @@ DOC_QUERIES = [
     "docs_temperature_mixture",
     "docs_segment_dedup",
     "docs_dsir_sample",
+    "docs_exact_substring_removal",
 ]
 EMB_QUERIES = [
     "emb_norms",
