@@ -5279,3 +5279,95 @@ FROM tok t LEFT JOIN cov USING (doc_id)
 
 
 DOCS_EXSUB_SQL = _duck_exsub_sql()
+
+
+# ===========================================================================
+# C4 line-level cleaning (round 5)
+# ===========================================================================
+
+C4_MIN_LINE_WORDS = 5   # C4: "only retained lines that contained at least 5 words"
+C4_MIN_SENTENCES = 3    # C4: "discarded any page with fewer than 3 sentences"
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def docs_c4_clean(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020, Colossal Clean
+    Crawled Corpus, section 2.2) — the canonical line-level cleaning
+    stage between boilerplate extraction and dedup. Per page: keep only
+    lines that end in a terminal punctuation mark (. ! ? "), contain at
+    least C4_MIN_LINE_WORDS words, and do not mention 'javascript';
+    then drop the page entirely if the retained text has fewer than
+    C4_MIN_SENTENCES sentences (approximated, as in most
+    re-implementations, by terminal-mark count), or if the ORIGINAL
+    page contains a curly brace (code) or the phrase 'lorem ipsum'
+    (placeholder chrome). Emits the verdict plus the cleaned text, so
+    the next stage (dedup) consumes cleaned_text where keep=true.
+
+    Scale shape: pure per-row column arithmetic — higher-order filter
+    over the line array plus regexp counts — compiled into one
+    WholeStageCodegen projection over the scan, ZERO shuffles, the same
+    shape as docs_pii_scrub. Nothing here changes between 500 docs and
+    10^12. All string/integer ops: no float parity risk."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    lines = F.split(text, "\n")
+
+    def line_kept(l):
+        t = F.trim(l)
+        n_words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+        last = F.substring(F.rtrim(l), -1, 1)
+        return (
+            (n_words >= C4_MIN_LINE_WORDS)
+            & last.isin(*C4_TERMINALS)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_kept)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.length(F.regexp_replace(cleaned, r"[^.!?]", ""))
+    keep = (
+        (n_sent >= C4_MIN_SENTENCES)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep.alias("keep"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
+def _duck_c4_sql() -> str:
+    terminals = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
+    kept = rf"""list_filter(string_split(text, chr(10)), l ->
+        (CASE WHEN trim(l) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(l), '\s+')) END) >= {C4_MIN_LINE_WORDS}
+        AND right(rtrim(l), 1) IN ({terminals})
+        AND NOT contains(lower(l), 'javascript'))"""
+    return rf"""
+WITH b AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         {kept} AS kept
+  FROM documents
+), c AS (
+  SELECT doc_id, text, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(length(regexp_replace(cleaned, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+       length(regexp_replace(cleaned, '[^.!?]', '', 'g')) >= {C4_MIN_SENTENCES}
+         AND NOT contains(text, '{{')
+         AND NOT contains(lower(text), 'lorem ipsum') AS keep,
+       cleaned AS cleaned_text
+FROM c
+"""
+
+
+DOCS_C4_CLEAN_SQL = _duck_c4_sql()

@@ -99,6 +99,7 @@ DOC_QUERIES = [
     "docs_segment_dedup",
     "docs_dsir_sample",
     "docs_exact_substring_removal",
+    "docs_c4_clean",
 ]
 EMB_QUERIES = [
     "emb_norms",
