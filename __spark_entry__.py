@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_sample": Q.docs_dsir_sample,
         "docs_exact_substring_removal": Q.docs_exact_substring_removal,
         "docs_c4_clean": Q.docs_c4_clean,
+        "docs_gopher_rules": Q.docs_gopher_rules,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_sample": Q.DOCS_DSIR_SQL,
         "docs_exact_substring_removal": Q.DOCS_EXSUB_SQL,
         "docs_c4_clean": Q.DOCS_C4_CLEAN_SQL,
+        "docs_gopher_rules": Q.DOCS_GOPHER_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

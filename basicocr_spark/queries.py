@@ -5371,3 +5371,155 @@ FROM c
 
 
 DOCS_C4_CLEAN_SQL = _duck_c4_sql()
+
+
+# ===========================================================================
+# Gopher quality rules (round 5)
+# ===========================================================================
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# the published 8-word presence list (Rae et al. 2021, appendix A)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def docs_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter ruleset (Rae et al. 2021, appendix A1.1) —
+    the named heuristic gate between C4-style cleaning and dedup,
+    completing the C4 / Gopher / CCNet cleaning trio alongside
+    docs_c4_clean and docs_segment_dedup (the Gopher REPETITION rules
+    live in docs_repetition_stats). Per doc: word count in
+    [50, 100k]; mean word length in [3, 10]; '#'/'...' symbol-to-word
+    ratio <= 0.1; <= 90% of lines bullet-led and <= 30% ellipsis-ended;
+    >= 80% of words containing an ASCII-alphabetic char (Gopher is an
+    English-corpus filter — CJK docs fail this rule by design, the
+    multilingual path routes through docs_lang_id_counts first); and at
+    least 2 distinct members of the published 8-stop-word presence list.
+
+    Scale shape: pure per-row column arithmetic (higher-order aggregate
+    / filter over the token and line arrays), one zero-shuffle codegen
+    projection like docs_c4_clean. Every ratio is a single int/int
+    division — no accumulation-order float risk; doubles rounded at the
+    boundary, the keep verdict computed on exact values."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = TS.tokens(text)
+    lines = F.split(text, "\n")
+    nw = F.size(toks)
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(nw > 0, n_chars / nw.cast("double")).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        nw > 0, (n_hash + n_ellipsis) / nw.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(*GOPHER_BULLETS),
+        )
+    ) / n_lines.cast("double")
+    ellipsis_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ) / n_lines.cast("double")
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / nw.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+def _duck_gopher_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    return rf"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+  FROM documents
+), m AS (
+  SELECT doc_id, len(arr) AS nw, len(lines) AS n_lines,
+         CASE WHEN len(arr) > 0
+              THEN list_sum(list_transform(arr, w -> length(w))) / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(arr) > 0
+              THEN (n_hash + n_ellipsis) / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS symbol_ratio,
+         len(list_filter(lines, l -> left(ltrim(l), 1) IN ({bullets})))
+           / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                     OR ends_with(rtrim(l), '…')))
+           / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+         CASE WHEN len(arr) > 0
+              THEN len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]')))
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_transform(arr, w -> lower(w)),
+                            [{stop_list}])) AS n_stop
+  FROM b
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AND mean_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+         AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+         AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+         AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM m
+"""
+
+
+DOCS_GOPHER_SQL = _duck_gopher_sql()

@@ -100,6 +100,7 @@ DOC_QUERIES = [
     "docs_dsir_sample",
     "docs_exact_substring_removal",
     "docs_c4_clean",
+    "docs_gopher_rules",
 ]
 EMB_QUERIES = [
     "emb_norms",
