@@ -5068,11 +5068,9 @@ def docs_dsir_sample(spark, sf_dir):
     integer-ratio logs; doubles rounded at the boundary, rank ties
     broken by doc_id."""
     d = _t_wide(spark, sf_dir, "documents")
-    toks_df = (
-        d.select("doc_id", "lang", TS.tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 1)
-        .localCheckpoint(eager=False)
-    )
+    toks_df = d.select(
+        "doc_id", "lang", TS.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
     bigrams = F.when(
         F.size("toks") >= 2,
         F.transform(
@@ -5090,7 +5088,15 @@ def docs_dsir_sample(spark, sf_dir):
         "doc_id",
         "is_target",
         (HK.poly_hash_kernel(F.col("gram")) % DSIR_BUCKETS).alias("f"),
-    )
+        # the feature stream has THREE consumers in one plan (the model
+        # agg, the totals agg via crossJoin, and the scoring join);
+        # without the lazy checkpoint Catalyst recomputes the gram
+        # explode + Arrow hash once per consumer AND the join's
+        # null-safety filter re-evaluates the kernel a second time per
+        # branch (5 Arrow passes total, measured 2x the runtime) — the
+        # same one-materialization-many-readers shape as the LM impl's
+        # per_doc table
+    ).localCheckpoint(eager=False)
     model = feats.groupBy("f").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
         F.count(F.lit(1)).alias("cr"),

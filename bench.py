@@ -221,6 +221,11 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             # round-5 addition: the CCNet-style sub-document dedup stage
             # (corpus-sized segment shuffle keyed by int64 fingerprints)
             "docs_segment_dedup",
+            # round-5 additions: exact-substring REMOVAL (positional-gram
+            # corpus shuffle + in-row strip) and DSIR importance
+            # resampling (hashed-feature models + Gumbel top-k)
+            "docs_exact_substring_removal",
+            "docs_dsir_sample",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —
