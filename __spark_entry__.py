@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_substring_removal": Q.docs_exact_substring_removal,
         "docs_c4_clean": Q.docs_c4_clean,
         "docs_gopher_rules": Q.docs_gopher_rules,
+        "docs_pipeline_funnel": Q.docs_pipeline_funnel,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_substring_removal": Q.DOCS_EXSUB_SQL,
         "docs_c4_clean": Q.DOCS_C4_CLEAN_SQL,
         "docs_gopher_rules": Q.DOCS_GOPHER_SQL,
+        "docs_pipeline_funnel": Q.DOCS_PIPELINE_FUNNEL_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -5529,3 +5529,81 @@ FROM m
 
 
 DOCS_GOPHER_SQL = _duck_gopher_sql()
+
+
+# ===========================================================================
+# Pipeline funnel (round 5 capstone)
+# ===========================================================================
+
+def docs_pipeline_funnel(spark, sf_dir):
+    """The training-data funnel: per-gate survivor counts for the four
+    cleaning/dedup stages this catalog ships — C4 line cleaning
+    (docs_c4_clean), the Gopher ruleset (docs_gopher_rules), exact
+    content dedup (min-doc_id canonical per text), and CCNet segment
+    gating (docs_segment_dedup) — evaluated INDEPENDENTLY per doc plus
+    the intersection, i.e. the report every corpus-construction run
+    publishes before training. One row: raw count, per-gate pass
+    counts, and the all-gates survivor count.
+
+    Scale shape: composes the gate operators' own plans (each already
+    scale-audited); the verdict tables are (doc_id, bool) projections
+    joined on doc_id, and the funnel is one partial+final count-if
+    aggregate over the joined row — adding a gate adds one join column,
+    never a corpus re-scan of this operator's own."""
+    d = _t(spark, sf_dir, "documents")
+    c4 = docs_c4_clean(spark, sf_dir).select("doc_id", F.col("keep").alias("k_c4"))
+    gopher = docs_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_gopher")
+    )
+    fp = d.select("doc_id", "text")
+    exact = (
+        fp.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(fp, "text")
+        .select("doc_id", (F.col("doc_id") == F.col("keeper")).alias("k_exact"))
+    )
+    seg = docs_segment_dedup(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_seg")
+    )
+    joined = (
+        d.select("doc_id").join(c4, "doc_id").join(gopher, "doc_id")
+        .join(exact, "doc_id").join(seg, "doc_id")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return joined.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(F.col("k_c4")).alias("n_pass_c4"),
+        cnt(F.col("k_gopher")).alias("n_pass_gopher"),
+        cnt(F.col("k_exact")).alias("n_pass_exact"),
+        cnt(F.col("k_seg")).alias("n_pass_segment"),
+        cnt(
+            F.col("k_c4") & F.col("k_gopher") & F.col("k_exact") & F.col("k_seg")
+        ).alias("n_pass_all"),
+    )
+
+
+def _duck_funnel_sql() -> str:
+    return rf"""
+WITH c4 AS MATERIALIZED (
+  SELECT doc_id, keep AS k_c4 FROM ({DOCS_C4_CLEAN_SQL})
+), gopher AS MATERIALIZED (
+  SELECT doc_id, keep AS k_gopher FROM ({DOCS_GOPHER_SQL})
+), exact AS MATERIALIZED (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS k_exact
+  FROM documents
+), seg AS MATERIALIZED (
+  SELECT doc_id, keep AS k_seg FROM ({DOCS_SEGMENT_DEDUP_SQL})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN k_c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_c4,
+       CAST(sum(CASE WHEN k_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher,
+       CAST(sum(CASE WHEN k_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_exact,
+       CAST(sum(CASE WHEN k_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_segment,
+       CAST(sum(CASE WHEN k_c4 AND k_gopher AND k_exact AND k_seg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM documents JOIN c4 USING (doc_id) JOIN gopher USING (doc_id)
+               JOIN exact USING (doc_id) JOIN seg USING (doc_id)
+"""
+
+
+DOCS_PIPELINE_FUNNEL_SQL = _duck_funnel_sql()

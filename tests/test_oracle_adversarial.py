@@ -101,6 +101,7 @@ DOC_QUERIES = [
     "docs_exact_substring_removal",
     "docs_c4_clean",
     "docs_gopher_rules",
+    "docs_pipeline_funnel",
 ]
 EMB_QUERIES = [
     "emb_norms",
