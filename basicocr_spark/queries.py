@@ -5555,11 +5555,14 @@ def docs_pipeline_funnel(spark, sf_dir):
     gopher = docs_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("k_gopher")
     )
-    fp = d.select("doc_id", "text")
+    # exact gate shuffles the int64 content fingerprint, never the text
+    # (the repo-wide discipline; fingerprint-equality is the standard
+    # exact-dedup approximation at 10^12 docs)
+    fp = d.select("doc_id", HK.poly_hash_kernel(F.col("text")).alias("fp"))
     exact = (
-        fp.groupBy("text")
+        fp.groupBy("fp")
         .agg(F.min("doc_id").alias("keeper"))
-        .join(fp, "text")
+        .join(fp, "fp")
         .select("doc_id", (F.col("doc_id") == F.col("keeper")).alias("k_exact"))
     )
     seg = docs_segment_dedup(spark, sf_dir).select(
@@ -5589,7 +5592,7 @@ WITH c4 AS MATERIALIZED (
 ), gopher AS MATERIALIZED (
   SELECT doc_id, keep AS k_gopher FROM ({DOCS_GOPHER_SQL})
 ), exact AS MATERIALIZED (
-  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS k_exact
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY {_duck_poly("text")}) AS k_exact
   FROM documents
 ), seg AS MATERIALIZED (
   SELECT doc_id, keep AS k_seg FROM ({DOCS_SEGMENT_DEDUP_SQL})
