@@ -5100,7 +5100,9 @@ def docs_dsir_sample(spark, sf_dir):
     model = feats.groupBy("f").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
         F.count(F.lit(1)).alias("cr"),
-    )
+        # two consumers (the totals agg and lr_table): B rows, checkpoint
+        # so the feats scan runs once, not once per consumer
+    ).localCheckpoint(eager=False)
     tot = model.groupBy().agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     log_ratio = F.log(
         (F.col("ct") + 1) / (F.col("tt") + DSIR_BUCKETS).cast("double")
@@ -5196,7 +5198,7 @@ def docs_exact_substring_removal(spark, sf_dir):
     n = EXSUB_N
     d = _t_wide(spark, sf_dir, "documents")
     toks_df = d.select(
-        "doc_id", TS.tokens(F.col("text")).alias("toks")
+        "doc_id", TS.tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
     ).localCheckpoint(eager=False)
     toks = F.col("toks")
     pos_grams = (
@@ -5251,7 +5253,7 @@ def _duck_exsub_sql() -> str:
     gram = f"array_to_string(arr[i:i+{n - 1}], ' ')"
     return rf"""
 WITH tok AS MATERIALIZED (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
                       ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
   FROM documents
 ), pg AS MATERIALIZED (
@@ -5315,7 +5317,8 @@ def docs_c4_clean(spark, sf_dir):
     shape as docs_pii_scrub. Nothing here changes between 500 docs and
     10^12. All string/integer ops: no float parity risk."""
     d = _t(spark, sf_dir, "documents")
-    text = F.col("text")
+    # null text normalizes to '' (both engines), like the extraction path
+    text = F.coalesce(F.col("text"), F.lit(""))
     lines = F.split(text, "\n")
 
     def line_kept(l):
@@ -5347,18 +5350,20 @@ def docs_c4_clean(spark, sf_dir):
 
 
 def _duck_c4_sql() -> str:
-    terminals = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
+    terminals = ", ".join(f"'{t}'" for t in C4_TERMINALS)
     kept = rf"""list_filter(string_split(text, chr(10)), l ->
         (CASE WHEN trim(l) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(l), '\s+')) END) >= {C4_MIN_LINE_WORDS}
         AND right(rtrim(l), 1) IN ({terminals})
         AND NOT contains(lower(l), 'javascript'))"""
     return rf"""
-WITH b AS (
+WITH nn AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), b AS (
   SELECT doc_id, text,
          string_split(text, chr(10)) AS lines,
          {kept} AS kept
-  FROM documents
+  FROM nn
 ), c AS (
   SELECT doc_id, text, lines, kept,
          coalesce(array_to_string(kept, chr(10)), '') AS cleaned
@@ -5416,7 +5421,8 @@ def docs_gopher_rules(spark, sf_dir):
     division — no accumulation-order float risk; doubles rounded at the
     boundary, the keep verdict computed on exact values."""
     d = _t(spark, sf_dir, "documents")
-    text = F.col("text")
+    # null text normalizes to '' (both engines)
+    text = F.coalesce(F.col("text"), F.lit(""))
     toks = TS.tokens(text)
     lines = F.split(text, "\n")
     nw = F.size(toks)
@@ -5428,8 +5434,11 @@ def docs_gopher_rules(spark, sf_dir):
     n_ellipsis = (
         F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
     ) / F.lit(3)
-    symbol_ratio = F.when(
-        nw > 0, (n_hash + n_ellipsis) / nw.cast("double")
+    # Rae et al. gate EACH symbol's ratio separately ("either the hash
+    # symbol or the ellipsis"), not their sum
+    hash_ratio = F.when(nw > 0, n_hash / nw.cast("double")).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        nw > 0, n_ellipsis / nw.cast("double")
     ).otherwise(F.lit(0.0))
     n_lines = F.size(lines)
     bullet_frac = F.size(
@@ -5457,7 +5466,8 @@ def docs_gopher_rules(spark, sf_dir):
     keep = (
         nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
-        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (hash_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_SYMBOL_RATIO)
         & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
         & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
         & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
@@ -5467,7 +5477,8 @@ def docs_gopher_rules(spark, sf_dir):
         "doc_id",
         nw.cast("long").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(hash_ratio, 6).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
         F.round(bullet_frac, 6).alias("bullet_frac"),
         F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
@@ -5480,22 +5491,27 @@ def _duck_gopher_sql() -> str:
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
     return rf"""
-WITH b AS (
+WITH nn AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), b AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE regexp_split_to_array(trim(text), '\s+') END AS arr,
          string_split(text, chr(10)) AS lines,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
-  FROM documents
+  FROM nn
 ), m AS (
   SELECT doc_id, len(arr) AS nw, len(lines) AS n_lines,
          CASE WHEN len(arr) > 0
               THEN list_sum(list_transform(arr, w -> length(w))) / CAST(len(arr) AS DOUBLE)
               ELSE 0.0 END AS mean_len,
          CASE WHEN len(arr) > 0
-              THEN (n_hash + n_ellipsis) / CAST(len(arr) AS DOUBLE)
-              ELSE 0.0 END AS symbol_ratio,
+              THEN n_hash / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS hash_ratio,
+         CASE WHEN len(arr) > 0
+              THEN n_ellipsis / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS ellipsis_ratio,
          len(list_filter(lines, l -> left(ltrim(l), 1) IN ({bullets})))
            / CAST(len(lines) AS DOUBLE) AS bullet_frac,
          len(list_filter(lines, l -> ends_with(rtrim(l), '...')
@@ -5512,14 +5528,16 @@ WITH b AS (
 SELECT doc_id,
        CAST(nw AS BIGINT) AS n_words,
        round(mean_len, 6) AS mean_word_len,
-       round(symbol_ratio, 6) AS symbol_ratio,
+       round(hash_ratio, 6) AS hash_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_ratio,
        round(bullet_frac, 6) AS bullet_frac,
        round(ellipsis_frac, 6) AS ellipsis_frac,
        round(alpha_frac, 6) AS alpha_frac,
        CAST(n_stop AS BIGINT) AS n_stopwords,
        nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
          AND mean_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
-         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND hash_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND ellipsis_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
          AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
          AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
          AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
@@ -5558,7 +5576,12 @@ def docs_pipeline_funnel(spark, sf_dir):
     # exact gate shuffles the int64 content fingerprint, never the text
     # (the repo-wide discipline; fingerprint-equality is the standard
     # exact-dedup approximation at 10^12 docs)
-    fp = d.select("doc_id", HK.poly_hash_kernel(F.col("text")).alias("fp"))
+    fp = d.select(
+        "doc_id",
+        HK.poly_hash_kernel(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        # two consumers (groupBy + self-join): hash the corpus once, and
+        # keep the join key non-null so NULL-text docs aren't dropped
+    ).localCheckpoint(eager=False)
     exact = (
         fp.groupBy("fp")
         .agg(F.min("doc_id").alias("keeper"))
@@ -5592,7 +5615,7 @@ WITH c4 AS MATERIALIZED (
 ), gopher AS MATERIALIZED (
   SELECT doc_id, keep AS k_gopher FROM ({DOCS_GOPHER_SQL})
 ), exact AS MATERIALIZED (
-  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY {_duck_poly("text")}) AS k_exact
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY {_duck_poly("coalesce(text, '')")}) AS k_exact
   FROM documents
 ), seg AS MATERIALIZED (
   SELECT doc_id, keep AS k_seg FROM ({DOCS_SEGMENT_DEDUP_SQL})

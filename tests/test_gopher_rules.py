@@ -27,6 +27,9 @@ DOCS = [
     (6, " ".join(["the", "be"] + ["12345"] * 58), "en", "s1"),  # alpha frac < 0.8
     (7, " ".join([f"word{i}" for i in range(60)]), "en", "s1"),  # no stopwords
     (8, "", "en", "s1"),                                         # empty
+    # ellipsis ratio > 0.1 on its own (hash ratio stays 0): the two
+    # symbol gates are separate, per the published rule
+    (9, GOOD + " " + " ".join(f"w{i}..." for i in range(10)), "en", "s1"),
 ]
 
 
@@ -48,12 +51,14 @@ def test_gopher_rule_verdicts(spark, gopher_dir):
     # each violator trips its intended stat
     assert rows[1]["n_words"] < Q.GOPHER_MIN_WORDS
     assert rows[2]["mean_word_len"] < Q.GOPHER_MIN_MEAN_WORD_LEN
-    assert rows[3]["symbol_ratio"] > Q.GOPHER_MAX_SYMBOL_RATIO
+    assert rows[3]["hash_ratio"] > Q.GOPHER_MAX_SYMBOL_RATIO
     assert rows[4]["bullet_frac"] > Q.GOPHER_MAX_BULLET_FRAC
     assert rows[5]["ellipsis_frac"] > Q.GOPHER_MAX_ELLIPSIS_FRAC
     assert rows[6]["alpha_frac"] < Q.GOPHER_MIN_ALPHA_FRAC
     assert rows[7]["n_stopwords"] == 0
     assert rows[8]["n_words"] == 0
+    assert rows[9]["ellipsis_ratio"] > Q.GOPHER_MAX_SYMBOL_RATIO
+    assert rows[9]["hash_ratio"] == 0.0
 
 
 def test_gopher_zero_shuffle_plan(spark, gopher_dir):

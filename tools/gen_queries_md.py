@@ -17,13 +17,20 @@ sys.path.insert(0, ROOT)
 import __spark_entry__ as E  # noqa: E402
 
 
+# abbreviations whose trailing '. ' is not a sentence boundary
+_ABBREV = ("et al", "i.e", "e.g", "cf", "vs", "etc")
+
+
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return "(no docstring)"
     text = " ".join(line.strip() for line in doc.strip().splitlines())
-    for stop in (". ", ".\n"):
-        if stop in text:
-            return text.split(stop)[0] + "."
+    i = 0
+    while (j := text.find(". ", i)) >= 0:
+        if any(text[:j].endswith(a) for a in _ABBREV):
+            i = j + 2
+            continue
+        return text[:j] + "."
     return text if len(text) < 160 else text[:157] + "..."
 
 
