@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_c4_clean": Q.docs_c4_clean,
         "docs_gopher_rules": Q.docs_gopher_rules,
         "docs_pipeline_funnel": Q.docs_pipeline_funnel,
+        "emb_ann_recall": Q.emb_ann_recall,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_clean": Q.DOCS_C4_CLEAN_SQL,
         "docs_gopher_rules": Q.DOCS_GOPHER_SQL,
         "docs_pipeline_funnel": Q.DOCS_PIPELINE_FUNNEL_SQL,
+        "emb_ann_recall": Q.EMB_ANN_RECALL_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

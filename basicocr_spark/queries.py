@@ -5633,3 +5633,108 @@ FROM documents JOIN c4 USING (doc_id) JOIN gopher USING (doc_id)
 
 
 DOCS_PIPELINE_FUNNEL_SQL = _duck_funnel_sql()
+
+
+# ===========================================================================
+# ANN recall evaluation (round 5)
+# ===========================================================================
+
+def emb_ann_recall(spark, sf_dir):
+    """Recall@2 of the IVF-PQ index against exact squared-L2 ground
+    truth — the index-quality report every ANN deployment publishes
+    before routing production traffic (recall@k vs the brute-force
+    scan, per query and aggregatable). Ground truth is the full-vector
+    squared L2 top-2 per probe (the metric ADC approximates), computed
+    the emb_cosine_topk way: broadcast probes, stream the corpus,
+    pre-reduce each partition to its local top-2, tiny final window.
+    The approximate side is emb_ivfpq_topk itself (memoized PQ index:
+    evaluating recall in the same sweep trains nothing twice). A probe
+    whose true neighbor sits in an unprobed cell or is mis-ranked by
+    quantized distances scores below 1.0 — exactly what the report is
+    for. On the driver's synthetic corpus the labels (= IVF cells) are
+    nearly uncorrelated with L2 proximity (4 of 60 true top-2 neighbors
+    share the probe's label at sf0.001), so routing loss dominates and
+    mean recall is genuinely low — the clustered-fixture test pins that
+    the same operator reports high recall when the cells match the
+    metric structure.
+
+    Scale shape: one corpus scan for ground truth (this operator is
+    run-once evaluation, not a serving path), all joins probe-set-sized.
+    The in-row L2 fold sums in array order on both engines, so the
+    rounded distances are bit-identical; recall is an exact small-int
+    ratio."""
+    e = _t(spark, sf_dir, "embeddings")
+    approx = emb_ivfpq_topk(spark, sf_dir).select("q_id", "vec_id")
+    probes = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("d2"))
+    )
+    reduced = _local_topk(pairs, 2, ["q_id"], ["d2", "vec_id"], [True, True])
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / F.lit(2.0), 6).alias(
+                "recall_at_2"
+            ),
+        )
+    )
+
+
+def _duck_ann_recall_sql() -> str:
+    return rf"""
+WITH approx AS MATERIALIZED (
+  SELECT q_id, vec_id FROM ({EMB_IVFPQ_SQL})
+), probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 30
+), pairs AS (
+  SELECT q_id, e.vec_id AS vec_id, {_duck_sq_l2("q_emb", "e.embedding")} AS d2
+  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rk
+  FROM pairs
+), exact AS (
+  SELECT q_id, vec_id FROM ranked WHERE rk <= 2
+), hits AS (
+  SELECT q_id, count(*) AS n FROM exact JOIN approx USING (q_id, vec_id)
+  GROUP BY q_id
+)
+SELECT q.q_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(n, 0) / 2.0, 6) AS recall_at_2
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits USING (q_id)
+"""
+
+
+EMB_ANN_RECALL_SQL = _duck_ann_recall_sql()

@@ -111,6 +111,7 @@ EMB_QUERIES = [
     "emb_pq_topk",
     "emb_ivfpq_topk",
     "emb_semdedup",
+    "emb_ann_recall",
 ]
 
 
