@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rules": Q.docs_gopher_rules,
         "docs_pipeline_funnel": Q.docs_pipeline_funnel,
         "emb_ann_recall": Q.emb_ann_recall,
+        "docs_softdedup_weights": Q.docs_softdedup_weights,
+        "docs_ccnet_bucket": Q.docs_ccnet_bucket,
+        "emb_hard_negatives": Q.emb_hard_negatives,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
         "docs_lm_perplexity": Q.docs_lm_perplexity,
@@ -266,6 +269,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rules": Q.DOCS_GOPHER_SQL,
         "docs_pipeline_funnel": Q.DOCS_PIPELINE_FUNNEL_SQL,
         "emb_ann_recall": Q.EMB_ANN_RECALL_SQL,
+        "docs_softdedup_weights": Q.DOCS_SOFTDEDUP_SQL,
+        "docs_ccnet_bucket": Q.DOCS_CCNET_BUCKET_SQL,
+        "emb_hard_negatives": Q.EMB_HARD_NEG_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),
         "docs_boilerplate_extract": Q._duck_boilerplate_sql(),

@@ -5738,3 +5738,160 @@ FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits USING (q_id)
 
 
 EMB_ANN_RECALL_SQL = _duck_ann_recall_sql()
+
+
+# ===========================================================================
+# Soft dedup, CCNet perplexity buckets, hard-negative mining
+# ===========================================================================
+
+
+def docs_softdedup_weights(spark, sf_dir):
+    """Soft dedup: the removal-free alternative to docs_dedup_exact —
+    instead of dropping duplicate documents, every copy survives with a
+    training sampling weight 1/k (k = number of exact-content copies),
+    so a text repeated k times contributes the same expected gradient
+    mass as a unique one (the reweight-don't-delete strategy of
+    SoftDedup, Xue et al. 2024, applied at doc granularity over the
+    exact-commonness signal; swap the grouping key for the
+    docs_dup_clusters CC cluster id and the same shape reweights
+    near-dup clusters).
+
+    Scale shape: both shuffles key on the 8-byte xxhash64 content
+    fingerprint, never the text payload (same discipline as the funnel's
+    dedup gate); the count side pre-reduces map-side, and the join back
+    is fingerprint->count, i.e. dup-group-sized on one side. No window,
+    no corpus-wide sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.xxhash64(F.col("text")).alias("fp")
+    )
+    counts = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return d.join(counts, "fp").select(
+        "doc_id",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+    )
+
+
+# the oracle needs no hash: commonness is a property of the text value
+# itself, so a window partitioned by text is the same multiset of counts
+DOCS_SOFTDEDUP_SQL = """
+SELECT doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       round(1.0 / n_copies, 6) AS weight
+FROM (SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies
+      FROM documents)
+"""
+
+
+def docs_ccnet_bucket(spark, sf_dir):
+    """CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+    each language's scored docs split into head / middle / tail at the
+    exact perplexity terciles — head is the clean third a curation run
+    keeps outright, tail is the candidate-discard third. Consumes the
+    memoized docs_lm_perplexity table (the LM estimates+scores once per
+    sweep across its three catalog consumers).
+
+    Scale shape: CCNet assigns buckets by comparing each doc against
+    per-language THRESHOLDS, not by ranking docs — the thresholds are a
+    languages-sized aggregate broadcast back onto the corpus, so there
+    is no per-language global sort window (a web corpus has billions of
+    docs in one language; production swaps the exact percentile for
+    approx_percentile on a sample, same join shape). Deterministic
+    parity: thresholds interpolate over the boundary-rounded perplexity
+    both engines already agree on (docs_lm_perplexity hash-matches), and
+    Spark's exact `percentile` and DuckDB's `quantile_cont` use the same
+    p*(n-1) linear-interpolation definition."""
+    ppl = docs_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = ppl.join(d, "doc_id")
+    thr = scored.groupBy("lang").agg(
+        F.percentile(F.col("perplexity"), 1.0 / 3.0).alias("t1"),
+        F.percentile(F.col("perplexity"), 2.0 / 3.0).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("perplexity") <= F.col("t1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "perplexity", bucket.alias("bucket")
+    )
+
+
+DOCS_CCNET_BUCKET_SQL = rf"""
+WITH scored AS MATERIALIZED (
+  SELECT p.doc_id, p.perplexity, d.lang
+  FROM ({DOCS_LM_PPL_SQL}) p JOIN documents d USING (doc_id)
+), thr AS (
+  SELECT lang,
+         quantile_cont(perplexity, 1.0/3.0) AS t1,
+         quantile_cont(perplexity, 2.0/3.0) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.perplexity,
+       CASE WHEN s.perplexity <= t.t1 THEN 'head'
+            WHEN s.perplexity <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN thr t USING (lang)
+"""
+
+
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retriever training: for each
+    probe vector (vec_id < 20), the top-2 most cosine-similar corpus
+    vectors whose LABEL DIFFERS from the probe's — the near-miss
+    impostors a bi-encoder trains against (dense-retrieval in-batch
+    negatives are easy; mined hard negatives are what move recall).
+
+    Same plan discipline as emb_cosine_topk: broadcast the probes,
+    stream the corpus once, drop same-label candidates BEFORE scoring
+    (the filter is a broadcast-side comparison, so it prunes in the
+    scan stage), pre-reduce each partition to its local top-2 per probe
+    map-side, final window over the tiny survivor set."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cands = e.crossJoin(F.broadcast(probes)).filter(
+        (F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label"))
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        V.cosine_rounded_fast(F.col("q_emb"), F.col("embedding"), 6).alias("cos"),
+    )
+    reduced = _local_topk(
+        scored, 2, ["q_id"], ["q_id", "cos", "vec_id"], [True, False, True]
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+EMB_HARD_NEG_SQL = """
+WITH probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT p.q_id, e.vec_id,
+         coalesce(round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(p.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
+         , 6), 0.0) AS cos
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id != p.q_id AND e.label != p.q_label
+)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+FROM scored QUALIFY rk <= 2
+"""
