@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions (BPE trainer, LM perplexity) follow it.
         # round-5 additions lead the dict so the driver's rotating 50-row
         # snapshot records them first
+        "docs_epoch_shuffle": Q.docs_epoch_shuffle,
+        "docs_bloom_dedup": Q.docs_bloom_dedup,
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "media_phash_near_dup": FQ.media_phash_near_dup_fixture,
         "emb_ivfpq_topk": Q.emb_ivfpq_topk,
@@ -254,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": Q.EMB_PQ_SQL,
         "docs_quality_lm_filter": Q.DOCS_QUALITY_LM_SQL,
         "docs_shared_ngram_pairs": Q.DOCS_SHARED_NGRAM_SQL,
+        "docs_epoch_shuffle": Q.DOCS_EPOCH_SHUFFLE_SQL,
+        "docs_bloom_dedup": Q.DOCS_BLOOM_SQL,
         "docs_benchmark_contamination": Q.DOCS_CONTAMINATION_SQL,
         "media_phash_near_dup": FQ.media_phash_near_dup_oracle_sql(),
         "emb_ivfpq_topk": Q.EMB_IVFPQ_SQL,

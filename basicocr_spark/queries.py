@@ -5895,3 +5895,169 @@ SELECT q_id, vec_id, cos,
        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
 FROM scored QUALIFY rk <= 2
 """
+
+
+EPOCH_SEED = "#epoch0"  # bump the suffix to re-deal a new epoch order
+EPOCH_SHARDS = 8
+# zero-pad widths for the composite range key: MOD < 10^10 and the
+# synthetic doc_id space < 10^12, so both paddings are collision-free
+_EPOCH_KEY_W = 10
+_EPOCH_ID_W = 12
+
+
+def docs_epoch_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle — the "shuffle the
+    corpus once per epoch" step every pretraining run needs between the
+    cleaned corpus and the trainer (and the one stage that is trivially
+    sequential on one box but a genuine distributed-ordering problem at
+    10^12 docs). Each doc draws a seeded pseudo-random key
+    poly_hash(doc_id || '#epoch0'); its global position is its rank in
+    (key, doc_id) order; shard = (pos-1) % EPOCH_SHARDS deals the
+    shuffled stream round-robin into trainer shards.
+
+    Scale shape: rank-in-global-order is NOT a Window.orderBy(key) row
+    number (one window partition = the whole corpus); it is
+    operators/prefix.py's two-pass range-partitioned prefix sum of 1s —
+    range-partition by a collision-free composite key (zero-padded key
+    then zero-padded doc_id, so lexicographic == (key, doc_id) numeric
+    order), per-partition counts, a #partitions-row exclusive cumsum
+    broadcast back, then a partition-local running count. One corpus
+    shuffle total, and the shuffle carries only (doc_id, key)."""
+    from .operators.prefix import with_prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        HK.poly_hash_kernel(
+            F.concat(F.col("doc_id").cast("string"), F.lit(EPOCH_SEED))
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "_skey",
+        F.concat(
+            F.lpad(F.col("shuffle_key").cast("string"), _EPOCH_KEY_W, "0"),
+            F.lpad(F.col("doc_id").cast("string"), _EPOCH_ID_W, "0"),
+        ),
+    )
+    ranked = with_prefix_sum(keyed, "_skey", F.lit(1), "pos")
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        "pos",
+        ((F.col("pos") - 1) % EPOCH_SHARDS).alias("shard"),
+    )
+
+
+DOCS_EPOCH_SHUFFLE_SQL = rf"""
+WITH k AS (
+  SELECT doc_id,
+         {_duck_poly(f"CAST(doc_id AS VARCHAR) || '{EPOCH_SEED}'")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+       (row_number() OVER (ORDER BY shuffle_key, doc_id) - 1) % {EPOCH_SHARDS} AS shard
+FROM k
+"""
+
+
+BLOOM_M = 1 << 20  # filter bits; sized for ~1% fill at the sandbox SFs
+BLOOM_K = 3  # probe positions per fingerprint
+
+
+def docs_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership pre-filter for incremental exact dedup —
+    the constant-space structure that replaces the committed-fingerprint
+    semi-join when the committed corpus no longer fits a shuffle: at
+    10^12 docs the distinct-fp store is TBs, but a 2^33-bit filter is
+    1 GiB and broadcasts. The incoming 20% slice (doc_id % INCR_MOD
+    == 0, the same split docs_incremental_dedup uses) probes a filter
+    built from the committed 80%: BLOOM_K positions per content
+    fingerprint, pos_i = poly_hash(fp || '#b' || i) % BLOOM_M. bloom_hit
+    has no false negatives, so the exact-fp verification join runs ONLY
+    over the hit docs (candidate-pruned, like every verify stage here).
+
+    Scale shape: the filter is built as a (BLOOM_M/64)-row word table —
+    groupBy(pos div 64) + bit_or(1 << pos%64), map-side combinable to
+    <= 16k rows per partition — and broadcast to the probe side; the
+    probe is a broadcast-join + bitwise AND, zero shuffle of the
+    incoming slice. Both engines agree bit-for-bit because a set bit is
+    exactly 'position present in the committed position set', which is
+    how the DuckDB oracle states it (membership, no bit arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    is_in = F.col("doc_id") % INCR_MOD == 0
+    fp_all = d.select(
+        "doc_id", is_in.alias("is_in"), HK.poly_hash_kernel(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=False)
+    # the fp->positions expansion runs on both sides; keep it one shape
+    seeds = F.array(*[F.lit(f"#b{i}") for i in range(BLOOM_K)])
+
+    def pos_of(df):
+        # explode is a generator — it must sit at the top of a projection,
+        # so the seed fan-out and the hash are two selects
+        return df.select("doc_id", "fp", F.explode(seeds).alias("_s")).select(
+            "doc_id",
+            "fp",
+            (
+                HK.poly_hash_kernel(F.concat(F.col("fp").cast("string"), F.col("_s")))
+                % BLOOM_M
+            ).alias("pos"),
+        )
+    words = (
+        pos_of(fp_all.filter(~F.col("is_in")))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    probe = pos_of(fp_all.filter("is_in")).withColumn("w", F.expr("pos div 64"))
+    bh = (
+        probe.join(F.broadcast(words), "w", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr(
+                    "(word & shiftleft(cast(1 as bigint), cast(pos % 64 as int))) != 0"
+                ),
+                F.lit(False),
+            ),
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.every("hit").alias("bloom_hit"))
+    )
+    fp_com = fp_all.filter(~F.col("is_in")).select("fp").distinct()
+    exact = (
+        bh.filter("bloom_hit")
+        .join(fp_com, "fp", "left_semi")
+        .select("doc_id", F.lit(True).alias("_ex"))
+    )
+    return (
+        bh.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_ex"), F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
+_BLOOM_POS = _duck_poly("CAST(fp AS VARCHAR) || '#b' || CAST(i AS VARCHAR)")
+
+DOCS_BLOOM_SQL = rf"""
+WITH fp AS MATERIALIZED (
+  SELECT doc_id, doc_id % {INCR_MOD} = 0 AS is_in, {_duck_poly("text")} AS fp
+  FROM documents
+), pos AS MATERIALIZED (
+  SELECT doc_id, is_in, fp, ({_BLOOM_POS}) % {BLOOM_M} AS pos
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)
+), build AS MATERIALIZED (
+  SELECT DISTINCT pos FROM pos WHERE NOT is_in
+), bh AS (
+  SELECT doc_id, fp, bool_and(pos IN (SELECT pos FROM build)) AS bloom_hit
+  FROM pos WHERE is_in GROUP BY doc_id, fp
+)
+SELECT doc_id, bloom_hit,
+       bloom_hit AND fp IN (SELECT fp FROM fp WHERE NOT is_in) AS exact_dup
+FROM bh
+"""

@@ -226,6 +226,21 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             # resampling (hashed-feature models + Gumbel top-k)
             "docs_exact_substring_removal",
             "docs_dsir_sample",
+            # round-5 additions: the composed C4/Gopher/dedup funnel
+            # report (four gates + intersection in one pass) and the
+            # CCNet perplexity-tercile bucketer (rides the memoized LM —
+            # its marginal cost over docs_lm_perplexity is the
+            # threshold agg + broadcast compare, which is the number
+            # this row tracks since the LM memo is already warm here)
+            "docs_pipeline_funnel",
+            "docs_ccnet_bucket",
+            # round-5 additions: the per-epoch global training-order deal
+            # (range-partitioned prefix-sum rank — the one corpus-wide
+            # total-order cost a pretraining run pays) and the Bloom
+            # membership pre-filter (build-side groupBy to <=16k words,
+            # broadcast probe, zero incoming-slice shuffle)
+            "docs_epoch_shuffle",
+            "docs_bloom_dedup",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —
