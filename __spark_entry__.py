@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": Q.emb_ann_recall,
         "docs_softdedup_weights": Q.docs_softdedup_weights,
         "docs_ccnet_bucket": Q.docs_ccnet_bucket,
+        "docs_quality_classifier": Q.docs_quality_classifier,
         "emb_hard_negatives": Q.emb_hard_negatives,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_recall": Q.EMB_ANN_RECALL_SQL,
         "docs_softdedup_weights": Q.DOCS_SOFTDEDUP_SQL,
         "docs_ccnet_bucket": Q.DOCS_CCNET_BUCKET_SQL,
+        "docs_quality_classifier": Q.DOCS_QUALITY_CLF_SQL,
         "emb_hard_negatives": Q.EMB_HARD_NEG_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),

@@ -6061,3 +6061,133 @@ SELECT doc_id, bloom_hit,
        bloom_hit AND fp IN (SELECT fp FROM fp WHERE NOT is_in) AS exact_dup
 FROM bh
 """
+
+
+# ===========================================================================
+# Trained quality classifier (Naive Bayes over the seed corpus)
+# ===========================================================================
+
+# the "curated seed corpus" sources: the classifier learns which token
+# distributions look like these and scores every doc by that likeness —
+# the GPT-3/CCNet quality-filter recipe (curated positives vs raw-crawl
+# negatives), with the linear fastText-style model instantiated as
+# multinomial Naive Bayes so the trained weights are exact integer-ratio
+# logs both engines reproduce bit-for-bit
+CURATED_SOURCES = ("src0", "src1", "src2")
+
+
+def docs_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier — the pipeline stage between the
+    heuristic gates and the final corpus mix in GPT-3/LLaMA-style
+    curation (Brown et al. 2020 §A; CCNet): label a seed split as
+    curated (source in CURATED_SOURCES) vs general crawl, fit a linear
+    text classifier, then score EVERY doc with its curated-likeness.
+    The model is multinomial Naive Bayes with Laplace smoothing — the
+    closed-form member of the linear-classifier family fastText
+    approximates, chosen because its weights are logs of integer ratios
+    (exactly reproducible in the DuckDB oracle, no SGD nondeterminism):
+
+        log_odds(w) = ln((c_pos(w)+1)/(N_pos+V)) - ln((c_neg(w)+1)/(N_neg+V))
+        score(doc)  = ln(D_pos/D_neg) + sum_w k_w * log_odds(w)
+
+    Reference analog: the dictionary-driven scoring loops of
+    docs/yangzhanku/n-gram/language-model.md (count -> merge ->
+    conditional-probability estimation), upgraded from LM self-scoring
+    (docs_lm_perplexity) to a supervised two-class token model.
+
+    Scale shape (same discipline as docs_lm_perplexity): ONE corpus
+    tokenization; per-doc token counts reduce to (doc_id, w, k) FIRST
+    (map-side combine absorbs in-doc repetition); the class-conditional
+    counts and totals are model-sized partial+final aggs over that
+    reduced table; the trained log-odds table is enriched model-side,
+    and the corpus-sized per-doc table shuffles exactly once (on w) to
+    pick up its weights; class totals/priors broadcast as 1-row
+    crossJoins. Docs with zero tokens have no defined score and are
+    excluded (they never reach a token classifier in production — the
+    length gate drops them first). Floats are sums of k * ln(integer
+    ratio) in both engines, rounded at the boundary; the predicted
+    label thresholds the ROUNDED score so the decision is made on the
+    value both engines agree on."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks_df = (
+        d.select(
+            "doc_id",
+            F.col("source").isin(*CURATED_SOURCES).alias("y"),
+            TS.tokens(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    per_doc = (
+        toks_df.select("doc_id", "y", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "y", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    cw = per_doc.groupBy("w").agg(
+        F.sum(F.when(F.col("y"), F.col("k")).otherwise(F.lit(0))).alias("cp"),
+        F.sum(F.when(~F.col("y"), F.col("k")).otherwise(F.lit(0))).alias("cn"),
+    )
+    tot = cw.groupBy().agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    dc = toks_df.groupBy().agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("dn"),
+    )
+    log_odds = F.log(
+        (F.col("cp") + 1) / (F.col("np") + F.col("v")).cast("double")
+    ) - F.log((F.col("cn") + 1) / (F.col("nn") + F.col("v")).cast("double"))
+    model = cw.crossJoin(F.broadcast(tot)).select("w", log_odds.alias("lo"))
+    # dp/dn are crossJoined constants; first() keeps them out of the key
+    prior = F.log(F.first("dp").cast("double") / F.first("dn"))
+    score = F.round(prior + F.sum(F.col("k") * F.col("lo")), 6)
+    return (
+        per_doc.join(model, "w")
+        .crossJoin(F.broadcast(dc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            score.alias("nb_log_odds"),
+            (score > 0).alias("pred_curated"),
+        )
+    )
+
+
+_QC_CURATED_IN = "('" + "', '".join(CURATED_SOURCES) + "')"
+
+DOCS_QUALITY_CLF_SQL = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source IN {_QC_CURATED_IN} AS y,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), per_doc AS MATERIALIZED (
+  SELECT doc_id, y, w, count(*) AS k
+  FROM (SELECT doc_id, y, unnest(arr) AS w FROM tok)
+  GROUP BY doc_id, y, w
+), cw AS MATERIALIZED (
+  SELECT w,
+         sum(CASE WHEN y THEN k ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT y THEN k ELSE 0 END) AS cn
+  FROM per_doc GROUP BY w
+), tot AS (
+  SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cw
+), dc AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+  FROM (SELECT DISTINCT doc_id, y FROM per_doc)
+), model AS MATERIALIZED (
+  SELECT w, ln((cp + 1) / CAST(np + v AS DOUBLE))
+            - ln((cn + 1) / CAST(nn + v AS DOUBLE)) AS lo
+  FROM cw CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_tokens,
+       round(ln(CAST(dp AS DOUBLE) / dn) + sum(k * lo), 6) AS nb_log_odds,
+       round(ln(CAST(dp AS DOUBLE) / dn) + sum(k * lo), 6) > 0 AS pred_curated
+FROM per_doc JOIN model USING (w) CROSS JOIN dc
+GROUP BY doc_id, dp, dn
+"""
