@@ -6191,3 +6191,117 @@ SELECT doc_id,
 FROM per_doc JOIN model USING (w) CROSS JOIN dc
 GROUP BY doc_id, dp, dn
 """
+
+
+# ===========================================================================
+# Dedup candidate-recall evaluation (LSH vs exact sampled ground truth)
+# ===========================================================================
+
+DEDUP_EVAL_MOD = 20  # 1-in-20 deterministic doc sample for the truth scan
+
+
+def docs_dedup_recall_eval(spark, sf_dir):
+    """Recall report for the MinHash-LSH candidate generator against
+    EXACT ground truth — the dedup twin of emb_ann_recall, and the
+    measurement behind this repo's banding-parameter claims (README:
+    "100% recall vs brute-force truth at sf0.1"): before trusting an
+    LSH configuration at crawl scale, a pipeline publishes what fraction
+    of true near-dup pairs its bands actually surface. Ground truth is
+    the exact k=2 hashed-shingle Jaccard >= 0.6 measure (identical to
+    docs_near_dup_verified's verification metric, so recall here bounds
+    that operator's end-to-end recall too), computed ONE-SIDED over a
+    deterministic 1-in-DEDUP_EVAL_MOD doc sample: full all-pairs truth
+    is quadratic in the corpus, but sample x corpus is linear, and
+    one-sided sampling preserves the pair-level hit rate (every true
+    pair touching the sample is tested). Candidates are
+    docs_minhash_lsh_pairs restricted to sample-touching pairs.
+
+    Scale shape: run-once evaluation, not a serving path. The sample's
+    shingle sets broadcast (set DEDUP_EVAL_MOD so the sample is ~10^3-4
+    docs at the target corpus); the corpus streams ONCE through the
+    Arrow shingle kernel with the Jaccard computed in the scan stage —
+    corpus shingle sets are never shuffled or materialized. The
+    candidate side reuses the production LSH pair query. All final
+    joins/aggs are truth-sized. Vacuous recall (no true pairs in the
+    sample) reports 1.0 in both engines."""
+    d = _t_wide(spark, sf_dir, "documents")
+    is_samp = F.col("doc_id") % DEDUP_EVAL_MOD == 0
+    samp = HK.shingle_hash_sets_df(d.filter(is_samp), k=2).select(
+        F.col("doc_id").alias("s_id"), F.col("sh").alias("s_sh")
+    )
+    corpus = HK.shingle_hash_sets_df(d, k=2)
+    inter = F.size(F.array_intersect(F.col("s_sh"), F.col("sh")))
+    union = F.size(F.col("s_sh")) + F.size(F.col("sh")) - inter
+    truth = (
+        corpus.crossJoin(F.broadcast(samp))
+        .filter(F.col("doc_id") != F.col("s_id"))
+        .filter(union > 0)
+        .filter(F.round(inter / union.cast("double"), 6) >= 0.6)
+        .select(
+            F.least("s_id", "doc_id").alias("doc_a"),
+            F.greatest("s_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: count + hit join
+    )
+    cands = (
+        docs_minhash_lsh_pairs(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") % DEDUP_EVAL_MOD == 0)
+            | (F.col("doc_b") % DEDUP_EVAL_MOD == 0)
+        )
+        .localCheckpoint(eager=False)
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_samp = d.filter(is_samp).groupBy().agg(
+        F.count(F.lit(1)).alias("n_sample_docs")
+    )
+    n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cands.groupBy().agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    recall = F.when(
+        F.col("n_true") > 0, F.round(F.col("n_hits") / F.col("n_true"), 6)
+    ).otherwise(F.lit(1.0))
+    return (
+        n_samp.crossJoin(n_true)
+        .crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select("n_sample_docs", "n_true", "n_cand", "n_hits", recall.alias("recall"))
+    )
+
+
+def _duck_dedup_recall_sql() -> str:
+    shingle = _duck_shingle_expr(2)
+    return f"""
+WITH sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform({shingle}, s ->
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(regexp_split_to_array(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM documents),
+samp AS (SELECT * FROM sh WHERE doc_id % {DEDUP_EVAL_MOD} = 0),
+truth AS MATERIALIZED (
+  SELECT DISTINCT least(s.doc_id, c.doc_id) AS doc_a,
+                  greatest(s.doc_id, c.doc_id) AS doc_b
+  FROM samp s JOIN sh c ON s.doc_id <> c.doc_id
+  WHERE len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh)) > 0
+    AND round(len(list_intersect(s.sh, c.sh)) /
+        CAST(len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh)) AS DOUBLE), 6)
+        >= 0.6
+),
+cands AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_duck_minhash_sql()})
+  WHERE doc_a % {DEDUP_EVAL_MOD} = 0 OR doc_b % {DEDUP_EVAL_MOD} = 0
+),
+hits AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cands)
+SELECT (SELECT count(*) FROM documents WHERE doc_id % {DEDUP_EVAL_MOD} = 0)
+         AS n_sample_docs,
+       (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cands) AS n_cand,
+       (SELECT count(*) FROM hits) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN round((SELECT count(*) FROM hits) /
+                       CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+            ELSE 1.0 END AS recall
+"""
+
+
+DOCS_DEDUP_RECALL_SQL = _duck_dedup_recall_sql()
