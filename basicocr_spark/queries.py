@@ -6305,3 +6305,69 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id % {DEDUP_EVAL_MOD} = 0)
 
 
 DOCS_DEDUP_RECALL_SQL = _duck_dedup_recall_sql()
+
+
+# ===========================================================================
+# Per-source doc caps (RefinedWeb-style rebalancing downsample)
+# ===========================================================================
+
+SOURCE_CAP = 15  # max docs kept per source (binds at every driver SF)
+SOURCE_CAP_SEED = "#srccap0"  # bump to re-deal a new uniform pick
+
+
+def docs_source_cap_sample(spark, sf_dir):
+    """Per-source document caps — the rebalancing downsample between
+    dedup and the final mix in RefinedWeb/C4-style curation (Penedo et
+    al. 2023 cap pages per domain so no single site dominates the
+    corpus): every source keeps at most SOURCE_CAP docs, picked
+    uniformly-at-random but DETERMINISTICALLY by ranking each source's
+    docs on a seeded content-free hash key (same keying discipline as
+    docs_epoch_shuffle — poly_hash(doc_id || seed), so the pick is
+    reproducible across runs and engines and independent of input
+    order). Complements docs_temperature_mixture: temperature reweights
+    sources softly, the cap is the hard ceiling.
+
+    Scale shape: the naive form is a row_number window partitioned by
+    source — but a web corpus's largest source has billions of docs, a
+    corpus-sized reducer partition. _local_topk pre-reduces each input
+    partition to its SOURCE_CAP best (source, key) rows map-side first,
+    so the final window ranks <= cap x n_partitions rows per source
+    (the same distributive-top-k discipline as the word-frequency and
+    cosine rankings). The shuffle carries (doc_id, source, key) only —
+    never text."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        TS.char_poly_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(SOURCE_CAP_SEED))
+        ).alias("pick_key"),
+    )
+    reduced = _local_topk(
+        keyed,
+        SOURCE_CAP,
+        ["source"],
+        ["source", "pick_key", "doc_id"],
+        [True, True, True],
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("pick_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+DOCS_SOURCE_CAP_SQL = rf"""
+WITH k AS (
+  SELECT doc_id, source,
+         {_duck_poly(f"CAST(doc_id AS VARCHAR) || '{SOURCE_CAP_SEED}'")} AS pick_key
+  FROM documents
+)
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY pick_key, doc_id) AS rk
+FROM k
+QUALIFY rk <= {SOURCE_CAP}
+"""

@@ -241,6 +241,10 @@ def run(parallelism: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dic
             # broadcast probe, zero incoming-slice shuffle)
             "docs_epoch_shuffle",
             "docs_bloom_dedup",
+            # the trained NB quality classifier: one corpus tokenization
+            # + the model-first scoring join — tracks the quality-filter
+            # stage's throughput alongside the LM rows
+            "docs_quality_classifier",
         ]
         # tiny seeded-fixture correctness queries (24-doc scale): their
         # runtime is Catalyst stage/broadcast fixed cost, not throughput —
