@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": Q.docs_quality_classifier,
         "docs_dedup_recall_eval": Q.docs_dedup_recall_eval,
         "docs_source_cap_sample": Q.docs_source_cap_sample,
+        "docs_lm_kneser_ney": Q.docs_lm_kneser_ney,
         "emb_hard_negatives": Q.emb_hard_negatives,
         "docs_token_kmv_distinct": Q.docs_token_kmv_distinct,
         "docs_bpe_merges": Q.docs_bpe_merges,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_classifier": Q.DOCS_QUALITY_CLF_SQL,
         "docs_dedup_recall_eval": Q.DOCS_DEDUP_RECALL_SQL,
         "docs_source_cap_sample": Q.DOCS_SOURCE_CAP_SQL,
+        "docs_lm_kneser_ney": Q.DOCS_LM_KN_SQL,
         "emb_hard_negatives": Q.EMB_HARD_NEG_SQL,
         "docs_tfidf_top_terms": Q.DOCS_TFIDF_SQL,
         "docs_source_dedup_stats": Q._duck_source_dedup_sql(),

@@ -6371,3 +6371,119 @@ SELECT doc_id, source,
 FROM k
 QUALIFY rk <= {SOURCE_CAP}
 """
+
+
+# ===========================================================================
+# Kneser-Ney smoothed LM perplexity
+# ===========================================================================
+
+KN_DISCOUNT = 0.75  # exact binary fraction: cross-engine doubles stay exact
+
+
+def docs_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing the
+    production LM quality filters actually use (KenLM's default; Heafield
+    2011): add-one (docs_lm_perplexity) over-penalizes unseen mass and
+    under-weights how PROMISCUOUS a word's contexts are, KN fixes both
+    with absolute discounting plus a continuation-probability backoff:
+
+        P_kn(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                      + (D * N1+(w1 .)/c(w1 .)) * N1+(. w2)/N_bi
+
+    (c(w1 .) = bigram tokens with history w1, N1+(w1 .) = distinct
+    continuations of w1, N1+(. w2) = distinct histories of w2, N_bi =
+    distinct bigram types; self-scored, so every scored bigram has
+    c >= 1 and the max(c-D, 0) clamp is never active). Per-doc
+    perplexity exp(-mean log P) as in docs_lm_perplexity — the two
+    entries differ only in the estimator, so their spread measures the
+    smoothing choice itself.
+
+    Scale shape: identical to docs_lm_perplexity — ONE corpus
+    tokenization, per-doc bigrams reduce to (doc, w1, w2, k) first, the
+    three model tables (history totals, continuation counts, type
+    count) are model-sized partial+final aggs, the model enriches FIRST
+    and the corpus-sized per-doc table shuffles exactly once (on
+    (w1, w2)); N_bi broadcast-crosses as a scalar. D = 0.75 is an exact
+    binary fraction, so both engines evaluate ln of identical doubles."""
+    d = _t_wide(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    bi = per_doc.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    hist = bi.groupBy("w1").agg(
+        F.sum("cb").alias("ch"),  # c(w1 .)
+        F.count(F.lit(1)).alias("n_cont"),  # N1+(w1 .)
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n_hist"))  # N1+(. w2)
+    nbi = bi.groupBy().agg(F.count(F.lit(1)).alias("n_bi"))
+    model = (
+        bi.join(hist, "w1")
+        .join(cont, "w2")  # model-sized joins: bigram-type cardinality
+    )
+    p_kn = (F.col("cb") - F.lit(KN_DISCOUNT)) / F.col("ch") + (
+        F.lit(KN_DISCOUNT) * F.col("n_cont") / F.col("ch")
+    ) * (F.col("n_hist") / F.col("n_bi").cast("double"))
+    nll = -F.sum(F.col("k") * F.log(p_kn)) / F.sum("k")
+    return (
+        per_doc.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(nbi))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(nll), 6).alias("kn_perplexity"),
+        )
+    )
+
+
+DOCS_LM_KN_SQL = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+), per_doc AS MATERIALIZED (
+  SELECT doc_id, w1, w2, count(*) AS k
+  FROM (
+    SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+    FROM tok CROSS JOIN unnest(generate_series(1, len(arr) - 1)) AS t(i)
+    WHERE len(arr) >= 2
+  )
+  GROUP BY doc_id, w1, w2
+), bi AS MATERIALIZED (
+  SELECT w1, w2, sum(k) AS cb FROM per_doc GROUP BY w1, w2
+), hist AS (
+  SELECT w1, sum(cb) AS ch, count(*) AS n_cont FROM bi GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n_hist FROM bi GROUP BY w2
+), nbi AS (
+  SELECT count(*) AS n_bi FROM bi
+), model AS MATERIALIZED (
+  SELECT b.w1, b.w2,
+         (b.cb - {KN_DISCOUNT}) / h.ch
+           + ({KN_DISCOUNT} * h.n_cont / h.ch) * (c.n_hist / CAST(n.n_bi AS DOUBLE))
+           AS p_kn
+  FROM bi b JOIN hist h USING (w1) JOIN cont c USING (w2) CROSS JOIN nbi n
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(-sum(k * ln(p_kn)) / sum(k), 6) AS avg_nll,
+       round(exp(-sum(k * ln(p_kn)) / sum(k)), 6) AS kn_perplexity
+FROM per_doc JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
