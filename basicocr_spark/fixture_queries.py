@@ -760,3 +760,58 @@ def media_phash_near_dup_oracle_sql() -> str:
     return _values_sql(
         _phash_fixture_reference_pairs(), ["ref_a", "ref_b", "hamming"]
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_voice_windows: windowed audio features + voice gate vs a
+# scalar-loop pure-Python twin of the numpy kernel
+# ---------------------------------------------------------------------------
+
+_N_AUDIO_REFS = 18
+
+
+def audio_voice_windows_fixture(spark, sf_dir):
+    """Audio-column plumbing end-to-end: deterministic fake waveforms ->
+    fixed-window explode with exact integer energy / zero-crossing /
+    voice-gate features (operators/multimodal.audio_window_features;
+    corrupt blobs emit nothing). Oracle: the same deterministic fixture
+    decoded and featurized by scalar Python loops — every column is
+    integer or boolean, so parity needs no float tolerance."""
+    from .operators.multimodal import audio_window_features, build_audio_table
+
+    refs = [f"a{i:05d}" for i in range(_N_AUDIO_REFS)]
+    return audio_window_features(build_audio_table(spark, refs, corrupt_every=6))
+
+
+def _audio_reference_rows() -> list[tuple]:
+    """Scalar-loop twin (no numpy) of the audio_window_features kernel
+    over build_audio_table's generation-time fixture."""
+    from .operators.multimodal import (
+        AUDIO_WINDOW,
+        SILENCE_MSQ,
+        decode_fake_audio,
+        encode_fake_audio,
+    )
+
+    rows = []
+    for i in range(_N_AUDIO_REFS):
+        if i % 6 == 5:
+            continue  # corrupt blob: no windows
+        ref = f"a{i:05d}"
+        d = decode_fake_audio(encode_fake_audio(ref, 3 * AUDIO_WINDOW + 40 + 97 * i))
+        assert d is not None
+        _, samples = d
+        for w in range(0, len(samples), AUDIO_WINDOW):
+            seg = samples[w : w + AUDIO_WINDOW]
+            n = len(seg)
+            sq = sum(v * v for v in seg)
+            zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+            rows.append((ref, w // AUDIO_WINDOW, n, sq, zc, sq >= SILENCE_MSQ * n))
+    return rows
+
+
+def audio_voice_windows_oracle_sql() -> str:
+    return _values_sql(
+        _audio_reference_rows(),
+        ["media_ref", "win_idx", "n", "sum_sq", "zcr", "voiced"],
+    )

@@ -432,3 +432,127 @@ def build_blob_table(spark, media_refs: list[str], corrupt_every: int = 7) -> Da
             w, h = 64 + 4 * (i % 9), 32
             rows.append((ref, encode_fake_image(ref, w, h), "image/x-bocr", w, h))
     return spark.createDataFrame(rows, schema=MEDIA_BLOB)
+
+
+# ---------------------------------------------------------------------------
+# Audio: opaque binary waveform column + windowed features / voice gate
+# ---------------------------------------------------------------------------
+# Same contract as images/video: the container format is a deterministic
+# stand-in (no audio libs in this container), the Spark plumbing —
+# binary column, Arrow batch shape, row-multiplying mapInPandas,
+# corrupt-blob skip semantics — is real. A production deployment swaps
+# decode_fake_audio for an ffmpeg/soundfile-backed decoder through the
+# same `decoder=` seam as resolve_decoder; every feature below is
+# integer-exact (sum of squared int16 samples, strict sign-change
+# counts), so the oracle side needs no float tolerance at all.
+
+_AMAGIC = b"FAUD"
+AUDIO_WINDOW = 256  # samples per analysis window
+# voice gate: a window is voiced iff mean square >= SILENCE_MSQ, i.e.
+# sum_sq >= SILENCE_MSQ * n in exact integer arithmetic
+SILENCE_MSQ = 100
+
+
+def encode_fake_audio(media_ref: str, n_samples: int, rate: int = 8000) -> bytes:
+    """Deterministic fake waveform: magic + rate + count + int16 LE
+    samples from an LCG seeded by the ref. Windows where
+    (window_index + seed) % 3 == 2 are written as EXACT silence (all
+    zeros) so the voice gate has real negatives to drop."""
+    seed = 0
+    for ch in media_ref:
+        seed = (seed * 31 + ord(ch)) % (1 << 31)
+    samples = []
+    x = seed | 1
+    for i in range(n_samples):
+        w = i // AUDIO_WINDOW
+        if (w + seed) % 3 == 2:
+            samples.append(0)
+        else:
+            x = (1103515245 * x + 12345) % (1 << 31)
+            samples.append(((x >> 16) % 2001) - 1000)
+    return (
+        _AMAGIC
+        + struct.pack("<II", rate, n_samples)
+        + struct.pack(f"<{n_samples}h", *samples)
+    )
+
+
+def decode_fake_audio(buf: bytes):
+    """-> (rate, int16 samples tuple) or None if invalid — P1/P2 skip
+    semantics for the audio column."""
+    if buf is None or len(buf) < 12 or buf[:4] != _AMAGIC:
+        return None
+    rate, n = struct.unpack("<II", buf[4:12])
+    if len(buf) != 12 + 2 * n or rate == 0:
+        return None
+    return rate, struct.unpack(f"<{n}h", buf[12:])
+
+
+def audio_window_features(blobs: DataFrame, decoder=None) -> DataFrame:
+    """Windowed audio featurization + voice-activity gate — the audio
+    analog of the image feature chain: each decodable blob explodes
+    into fixed-AUDIO_WINDOW analysis windows carrying (n, sum_sq, zcr,
+    voiced): sample count (the last window may be partial), EXACT
+    integer energy (sum of squared int16 samples — int64-safe:
+    1000^2 * 256 per window), strict zero crossings
+    (#{i : x[i-1] * x[i] < 0}, window-local), and the silence verdict
+    sum_sq >= SILENCE_MSQ * n. Undecodable blobs emit nothing.
+
+    Scale shape: one row-multiplying mapInPandas pass (Arrow-batched
+    numpy int64 kernels, no Python per-sample loop), zero shuffle —
+    the same UDTF shape as sample_frames; downstream consumers filter
+    on `voiced` to trim silence before any expensive recognizer, the
+    audio twin of the boilerplate gate."""
+    import numpy as np
+
+    decoder = decoder or decode_fake_audio
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, widx, ns, sqs, zcs, voiced = [], [], [], [], [], []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                d = decoder(bytes(buf) if buf is not None else None)
+                if d is None:
+                    continue
+                _, samples = d
+                x = np.asarray(samples, dtype=np.int64)
+                for w in range(0, len(x), AUDIO_WINDOW):
+                    seg = x[w : w + AUDIO_WINDOW]
+                    n = int(len(seg))
+                    sq = int(np.dot(seg, seg))
+                    zc = int(np.count_nonzero(seg[:-1] * seg[1:] < 0))
+                    refs.append(ref)
+                    widx.append(w // AUDIO_WINDOW)
+                    ns.append(n)
+                    sqs.append(sq)
+                    zcs.append(zc)
+                    voiced.append(sq >= SILENCE_MSQ * n)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "win_idx": widx,
+                    "n": ns,
+                    "sum_sq": sqs,
+                    "zcr": zcs,
+                    "voiced": voiced,
+                }
+            )
+
+    return blobs.mapInPandas(
+        kernel,
+        "media_ref string, win_idx int, n int, sum_sq long, zcr long, voiced boolean",
+    )
+
+
+def build_audio_table(spark, media_refs: list[str], corrupt_every: int = 6) -> DataFrame:
+    """Deterministic audio fixture: sample counts vary per ref (always
+    ending in a partial window); every `corrupt_every`-th blob is
+    garbage to exercise the skip path."""
+    rows = []
+    for i, ref in enumerate(media_refs):
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            rows.append((ref, b"\x00notaudio", "audio/x-bocr", None, None))
+        else:
+            n = 3 * AUDIO_WINDOW + 40 + 97 * i
+            rows.append((ref, encode_fake_audio(ref, n), "audio/x-bocr", None, None))
+    return spark.createDataFrame(rows, schema=MEDIA_BLOB)
