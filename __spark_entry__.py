@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_extraction": FQ.salted_extraction_fixture,
         "video_frame_sample": FQ.video_frame_sample_fixture,
         "audio_voice_windows": FQ.audio_voice_windows_fixture,
+        "audio_fingerprint_near_dup": FQ.audio_fingerprint_near_dup_fixture,
         "recognition_accuracy": FQ.recognition_accuracy_fixture,
         # new this round
         "docs_word_freq_cjk_dict": Q.docs_word_freq_cjk_dict,
@@ -325,5 +326,6 @@ def oracle_sql() -> dict[str, str]:
         "salted_extraction": FQ.salted_extraction_oracle_sql(),
         "video_frame_sample": FQ.video_frame_sample_oracle_sql(),
         "audio_voice_windows": FQ.audio_voice_windows_oracle_sql(),
+        "audio_fingerprint_near_dup": FQ.audio_fingerprint_near_dup_oracle_sql(),
         "recognition_accuracy": FQ.recognition_accuracy_oracle_sql(),
     }

@@ -815,3 +815,62 @@ def audio_voice_windows_oracle_sql() -> str:
         _audio_reference_rows(),
         ["media_ref", "win_idx", "n", "sum_sq", "zcr", "voiced"],
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_near_dup: acoustic-fingerprint dedup over the audio
+# column vs a scalar-loop + brute-force-hamming pure-Python twin
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint_near_dup_fixture(spark, sf_dir):
+    """The audio leg of crawl dedup: 2-bit-per-window energy
+    fingerprints (operators/multimodal.audio_fingerprint) -> banded
+    hamming-ball pairs via the SAME engine as the image dHash and text
+    simhash (queries.hamming_ball_pairs — 8 byte bands, exact for the
+    <= AUDIO_FP_HAM_MAX ball, DISTINCT-value clone collapse). Fixture
+    plants byte-exact clones (hamming 0), zero-window perturbed
+    re-encodes (small hamming), unrelated clips (unpaired), and a
+    corrupt blob (skipped). Oracle: scalar-loop fingerprints +
+    brute-force hamming over the same deterministic fixture."""
+    from . import queries as Q
+    from .operators.multimodal import (
+        AUDIO_FP_HAM_MAX,
+        audio_fingerprint,
+        build_audio_fp_table,
+    )
+
+    hashes = audio_fingerprint(build_audio_fp_table(spark)).localCheckpoint()
+    return Q.hamming_ball_pairs(
+        hashes, "afp", "media_ref", 8, AUDIO_FP_HAM_MAX, "ref_a", "ref_b"
+    )
+
+
+def _audio_fp_reference_pairs() -> list[tuple]:
+    from .operators.multimodal import (
+        AUDIO_FP_HAM_MAX,
+        _afp_of_samples,
+        build_audio_fp_blob_list,
+        decode_fake_audio,
+    )
+
+    fps = []
+    for ref, buf in build_audio_fp_blob_list():
+        d = decode_fake_audio(buf)
+        if d is None or len(d[1]) == 0:
+            continue
+        fps.append((ref, _afp_of_samples(list(d[1]))))
+    rows = []
+    for i, (ra, ha) in enumerate(fps):
+        for rb, hb in fps[i + 1 :]:
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= AUDIO_FP_HAM_MAX:
+                lo, hi = sorted((ra, rb))
+                rows.append((lo, hi, ham))
+    return sorted(rows)
+
+
+def audio_fingerprint_near_dup_oracle_sql() -> str:
+    return _values_sql(
+        _audio_fp_reference_pairs(), ["ref_a", "ref_b", "hamming"]
+    )

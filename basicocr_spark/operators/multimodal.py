@@ -556,3 +556,121 @@ def build_audio_table(spark, media_refs: list[str], corrupt_every: int = 6) -> D
             n = 3 * AUDIO_WINDOW + 40 + 97 * i
             rows.append((ref, encode_fake_audio(ref, n), "audio/x-bocr", None, None))
     return spark.createDataFrame(rows, schema=MEDIA_BLOB)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (the audio leg of crawl dedup)
+# ---------------------------------------------------------------------------
+# 2 bits per analysis window from the window's integer mean-square
+# energy, first AUDIO_FP_WINDOWS windows packed into one 64-bit
+# fingerprint — a deterministic, integer-exact stand-in for a
+# chromaprint-style acoustic fingerprint. Identical clips collide
+# exactly; zeroing/re-encoding a few windows flips <= 2 bits per touched
+# window; unrelated clips differ in ~3/4 of windows. Pairs come from the
+# SAME byte-band hamming engine as the image dHash and text simhash
+# (queries.hamming_ball_pairs), completing crawl dedup across all three
+# media modalities.
+
+AUDIO_FP_WINDOWS = 32
+AUDIO_FP_MSQ_BIN = 12500  # mean-square bin width; %4 -> 2-bit code
+AUDIO_FP_HAM_MAX = 6  # < 8 bands: byte-band candidates are exact
+
+
+def encode_pcm(samples, rate: int = 8000) -> bytes:
+    """Pack raw int16 samples into the fake-audio container."""
+    n = len(samples)
+    return (
+        _AMAGIC + struct.pack("<II", rate, n) + struct.pack(f"<{n}h", *samples)
+    )
+
+
+def perturb_fake_audio(buf: bytes, windows: tuple) -> bytes:
+    """Zero the given analysis windows and re-encode — the seeded
+    'same clip, small edit' fixture for near-dup tests."""
+    rate, samples = decode_fake_audio(buf)
+    out = list(samples)
+    for w in windows:
+        for i in range(w * AUDIO_WINDOW, min((w + 1) * AUDIO_WINDOW, len(out))):
+            out[i] = 0
+    return encode_pcm(out, rate)
+
+
+def _afp_of_samples(samples) -> int:
+    """Scalar-loop fingerprint twin (shared by the numpy kernel's test
+    oracle): code_w = ((sum_sq_w // n_w) // BIN) % 4 (0 for absent
+    windows), packed little-endian 2 bits per window, wrapped to a
+    signed int64 like the image dHash."""
+    fp = 0
+    for w in range(AUDIO_FP_WINDOWS):
+        seg = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+        if seg:
+            sq = sum(v * v for v in seg)
+            code = ((sq // len(seg)) // AUDIO_FP_MSQ_BIN) % 4
+        else:
+            code = 0
+        fp |= code << (2 * w)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def audio_fingerprint(blobs: DataFrame, decoder=None) -> DataFrame:
+    """(media_ref, afp) via one Arrow-batched mapInPandas pass (numpy
+    int64 segment math, no per-sample Python); undecodable or empty
+    blobs emit no row (P1/P2 skip semantics)."""
+    import numpy as np
+
+    decoder = decoder or decode_fake_audio
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, fps = [], []
+            for ref, buf in zip(pdf["media_ref"], pdf["content"]):
+                d = decoder(bytes(buf) if buf is not None else None)
+                if d is None or len(d[1]) == 0:
+                    continue
+                x = np.asarray(d[1], dtype=np.int64)
+                fp = 0
+                for w in range(AUDIO_FP_WINDOWS):
+                    seg = x[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    if len(seg):
+                        code = int(
+                            (int(np.dot(seg, seg)) // len(seg)) // AUDIO_FP_MSQ_BIN
+                        ) % 4
+                    else:
+                        code = 0
+                    fp |= code << (2 * w)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                refs.append(ref)
+                fps.append(fp)
+            yield pd.DataFrame({"media_ref": refs, "afp": fps})
+
+    return blobs.mapInPandas(kernel, "media_ref string, afp long")
+
+
+def build_audio_fp_blob_list(n_base: int = 12) -> list:
+    """Deterministic audio near-dup fixture rows (media_ref, bytes):
+    base clips, byte-exact clones (hamming 0), lightly zero-window
+    perturbed re-encodes (small hamming), one corrupt blob (skipped)."""
+    rows = []
+    for i in range(n_base):
+        ref = f"a{i:05d}"
+        if i % 6 == 5:
+            rows.append((ref, b"\x00notaudio"))
+            continue
+        buf = encode_fake_audio(ref, 40 * AUDIO_WINDOW + 40 + 97 * i)
+        rows.append((ref, buf))
+        if i % 4 == 0:
+            rows.append((f"{ref}_clone", buf))
+        if i % 3 == 0:
+            rows.append((f"{ref}_near", perturb_fake_audio(buf, (1, 2))))
+    return rows
+
+
+def build_audio_fp_table(spark) -> DataFrame:
+    rows = [
+        (ref, buf, "audio/x-bocr", None, None)
+        for ref, buf in build_audio_fp_blob_list()
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_BLOB)

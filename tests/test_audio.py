@@ -76,3 +76,67 @@ def test_codec_roundtrip_and_decoder_seam(spark):
     assert len(rows) == 2
     for r in rows:
         assert (r["n"], r["sum_sq"], r["zcr"]) == (3, 75, 2)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup
+# ---------------------------------------------------------------------------
+
+from basicocr_spark.operators.multimodal import (  # noqa: E402
+    _afp_of_samples,
+    audio_fingerprint,
+    build_audio_fp_table,
+    perturb_fake_audio,
+)
+
+
+def test_fingerprint_kernel_matches_scalar_twin(spark):
+    """The numpy mapInPandas fingerprint is bit-identical to the
+    scalar-loop twin for every decodable fixture blob."""
+    from basicocr_spark.operators.multimodal import (
+        build_audio_fp_blob_list,
+    )
+
+    got = {
+        r["media_ref"]: r["afp"]
+        for r in audio_fingerprint(build_audio_fp_table(spark)).collect()
+    }
+    want = {}
+    for ref, buf in build_audio_fp_blob_list():
+        d = decode_fake_audio(buf)
+        if d is not None and len(d[1]):
+            want[ref] = _afp_of_samples(list(d[1]))
+    assert got == want
+    assert "a00005" not in got  # corrupt blob skipped
+
+
+def test_clone_and_perturbed_pairing(spark):
+    """Clones collide at hamming 0; zero-window perturbations stay
+    inside the ball; unrelated clips stay out."""
+    from basicocr_spark import queries as Q
+    from basicocr_spark.operators.multimodal import AUDIO_FP_HAM_MAX
+
+    hashes = audio_fingerprint(build_audio_fp_table(spark)).localCheckpoint()
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in Q.hamming_ball_pairs(
+            hashes, "afp", "media_ref", 8, AUDIO_FP_HAM_MAX, "ref_a", "ref_b"
+        ).collect()
+    }
+    assert pairs[("a00000", "a00000_clone")] == 0
+    assert 0 < pairs[("a00003", "a00003_near")] <= AUDIO_FP_HAM_MAX
+    # every surfaced pair is a planted clone/near family member
+    for a, b in pairs:
+        assert a.split("_")[0] == b.split("_")[0], (a, b)
+
+
+def test_perturb_roundtrip():
+    buf = encode_fake_audio("p", 5 * AUDIO_WINDOW)
+    out = perturb_fake_audio(buf, (1, 3))
+    _, s0 = decode_fake_audio(buf)
+    _, s1 = decode_fake_audio(out)
+    assert len(s0) == len(s1)
+    for w in (1, 3):
+        assert all(v == 0 for v in s1[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW])
+    # untouched windows identical
+    assert s1[: AUDIO_WINDOW] == s0[: AUDIO_WINDOW]
